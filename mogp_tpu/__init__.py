@@ -1,0 +1,44 @@
+"""mogp_tpu: a TPU-native Gaussian-process emulation + UQ framework.
+
+Brand-new JAX/XLA/Pallas re-design with the capabilities of
+``mogp-emulator`` (reference: alan-turing-institute/mogp-emulator v0.7.2;
+public API surface mirrors ``mogp_emulator/__init__.py:1-16``):
+
+* GP emulators with marginalized-mean MAP fitting and full posterior
+  inference (HMC/NUTS) over hyperparameters,
+* batched multi-output fitting -- outputs x restarts vmapped into one XLA
+  program and sharded over a TPU mesh,
+* the UQ toolchain: experimental design, sequential (MICE) design,
+  history matching, gKDR dimension reduction, validation diagnostics.
+"""
+
+__version__ = "0.1.0"
+
+from .models.gp import GaussianProcess, PredictResult
+from .models.params import GPParams
+from .models.priors import (
+    GPPriors,
+    GammaPrior,
+    InvGammaPrior,
+    LogNormalPrior,
+    MeanPriors,
+    NormalPrior,
+    WeakPrior,
+)
+from .models.fitting import fit_GP_MAP
+from .models.mogp import MultiOutputGP
+
+__all__ = [
+    "GaussianProcess",
+    "PredictResult",
+    "GPParams",
+    "GPPriors",
+    "GammaPrior",
+    "InvGammaPrior",
+    "LogNormalPrior",
+    "MeanPriors",
+    "NormalPrior",
+    "WeakPrior",
+    "fit_GP_MAP",
+    "MultiOutputGP",
+]

@@ -1,0 +1,276 @@
+"""MAP hyperparameter estimation via batched on-device L-BFGS.
+
+TPU-native re-design of ``mogp_emulator/fitting.py`` (GPU analogue
+``mogp_gpu/src/fitting.hpp``): the reference runs ``n_tries`` serial
+scipy L-BFGS-B restarts per emulator (``fitting.py:237-255``) and
+distributes emulators over a process pool (``fitting.py:333-335``).
+Here every (output, restart) pair is an element of a vmapped batch axis
+minimized by ``mogp_tpu.ops.lbfgs`` inside one jitted XLA program; on a
+device mesh the same program shards that axis over chips (see
+``mogp_tpu.parallel``).
+
+Failure semantics match the reference (``fitting.py:175-186,252-264``):
+restarts whose objective is non-finite are dropped; emulators with no
+surviving restart are left unfit (``theta = None``) and reported via
+``get_indices_not_fit``; single-GP fitting raises on total failure.
+"""
+
+import warnings
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.lbfgs import lbfgs_minimize
+from .gp import GaussianProcess, GaussianProcessBase, gp_nlp
+from .mogp import MultiOutputGP, _stack_pytrees
+
+__all__ = ["fit_GP_MAP"]
+
+_GP_KWARGS = ["mean", "kernel", "priors", "nugget", "inputdict", "use_patsy"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "nugget_type", "maxiter", "gtol", "ftol"),
+)
+def _batched_fit_single(starts, data, kernel, nugget_type, maxiter, gtol, ftol):
+    """All restarts of one GP in a single XLA program (vmap over tries)."""
+
+    def minimize_one(x0):
+        return lbfgs_minimize(
+            lambda raw: gp_nlp(raw, data, kernel, nugget_type),
+            x0,
+            maxiter=maxiter,
+            gtol=gtol,
+            ftol=ftol,
+        )
+
+    return jax.vmap(minimize_one)(starts)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "nugget_type", "maxiter", "gtol", "ftol"),
+)
+def _batched_fit_multi(starts, data, kernel, nugget_type, maxiter, gtol, ftol):
+    """(outputs x restarts) batched fit: the reference's process pool and
+    restart loop collapsed into one doubly-vmapped program."""
+
+    def fit_output(x0s, d):
+        return jax.vmap(
+            lambda x0: lbfgs_minimize(
+                lambda raw: gp_nlp(raw, d, kernel, nugget_type),
+                x0,
+                maxiter=maxiter,
+                gtol=gtol,
+                ftol=ftol,
+            )
+        )(x0s)
+
+    return jax.vmap(fit_output)(starts, data)
+
+
+def _gather_starts(gp, n_tries, theta0):
+    """Starting points: ``theta0`` first (if given), prior samples after
+    (``fitting.py:239-242``).  Host-side numpy RNG for reproducibility
+    with seeded reference workflows."""
+    starts = []
+    for i in range(n_tries):
+        if i == 0 and theta0 is not None:
+            theta = np.array(theta0, dtype=np.float64)
+            assert theta.shape == (gp.n_params,), (
+                "theta0 must be a 1D array with length n_params"
+            )
+            starts.append(theta)
+        else:
+            starts.append(np.asarray(gp.priors.sample(), dtype=np.float64))
+    return np.stack(starts)
+
+
+def _extract_opt_options(kwargs):
+    maxiter = int(kwargs.pop("maxiter", 200))
+    gtol = float(kwargs.pop("gtol", 1e-5))
+    ftol = float(kwargs.pop("ftol", 1e-10))
+    kwargs.pop("processes", None)  # accepted for API parity; batching replaces it
+    if kwargs:
+        warnings.warn(
+            "ignoring unsupported optimizer options: {}".format(sorted(kwargs))
+        )
+    return maxiter, gtol, ftol
+
+
+def _check_method(method):
+    if method not in ("L-BFGS-B", "L-BFGS", "lbfgs"):
+        warnings.warn(
+            "method '{}' is not available on device; using batched L-BFGS".format(
+                method
+            )
+        )
+
+
+def _fit_single_GP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", **kwargs):
+    """Fit a single GP (``fitting.py:219-271``)."""
+    assert isinstance(gp, GaussianProcessBase)
+    n_tries = int(n_tries)
+    assert n_tries > 0, "number of attempts must be positive"
+    _check_method(method)
+    maxiter, gtol, ftol = _extract_opt_options(dict(kwargs))
+
+    starts = _gather_starts(gp, n_tries, theta0)
+    dtype = gp._data.inputs.dtype
+    res = _batched_fit_single(
+        jnp.asarray(starts, dtype=dtype),
+        gp._data,
+        gp.kernel,
+        gp.nugget_type,
+        maxiter,
+        gtol,
+        ftol,
+    )
+    fun = np.asarray(res.fun, dtype=np.float64)
+    xs = np.asarray(res.x, dtype=np.float64)
+
+    finite = np.isfinite(fun)
+    if not finite.any():
+        print("Minimization routine failed to return a value")
+        gp.theta = None
+    else:
+        idx = int(np.nanargmin(np.where(finite, fun, np.inf)))
+        gp.fit(xs[idx])
+    return gp
+
+
+def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, **kwargs):
+    """Fit all outputs of a MultiOutputGP in batched groups
+    (``fitting.py:273-338``)."""
+    assert isinstance(gp, MultiOutputGP)
+    n_tries = int(n_tries)
+    assert n_tries > 0, "n_tries must be a positive integer"
+    _check_method(method)
+    maxiter, gtol, ftol = _extract_opt_options(dict(kwargs))
+
+    # normalize theta0 into a per-emulator list (fitting.py:294-316)
+    if theta0 is None:
+        theta0 = [None] * gp.n_emulators
+    elif isinstance(theta0, np.ndarray):
+        if theta0.ndim == 1:
+            theta0 = [theta0] * gp.n_emulators
+        else:
+            assert theta0.ndim == 2, "theta0 must be a 1D or 2D array"
+            assert theta0.shape[0] == gp.n_emulators, (
+                "bad shape for fitting starting points"
+            )
+            theta0 = list(theta0)
+    else:
+        theta0 = list(theta0)
+        assert len(theta0) == gp.n_emulators, (
+            "theta0 must be a list of length n_emulators"
+        )
+
+    if refit:
+        indices_to_fit = list(range(gp.n_emulators))
+    else:
+        indices_to_fit = gp.get_indices_not_fit()
+
+    if not indices_to_fit:
+        return gp
+
+    # group emulators so each compiled program covers a uniform batch
+    for sig, rel_indices in gp._groups(
+        [gp.emulators[i] for i in indices_to_fit]
+    ).items():
+        global_idx = [indices_to_fit[i] for i in rel_indices]
+        ems = [gp.emulators[i] for i in global_idx]
+        em0 = ems[0]
+        dtype = em0._data.inputs.dtype
+
+        starts = np.stack(
+            [_gather_starts(em, n_tries, theta0[i]) for em, i in zip(ems, global_idx)]
+        )  # (G, n_tries, P)
+        data = _stack_pytrees([em._data for em in ems])
+
+        res = _batched_fit_multi(
+            jnp.asarray(starts, dtype=dtype),
+            data,
+            em0.kernel,
+            em0.nugget_type,
+            maxiter,
+            gtol,
+            ftol,
+        )
+        fun = np.asarray(res.fun, dtype=np.float64)  # (G, n_tries)
+        xs = np.asarray(res.x, dtype=np.float64)
+
+        for row, em in enumerate(ems):
+            finite = np.isfinite(fun[row])
+            if not finite.any():
+                em.theta = None
+            else:
+                idx = int(np.nanargmin(np.where(finite, fun[row], np.inf)))
+                em.fit(xs[row, idx])
+    return gp
+
+
+def fit_GP_MAP(
+    *args,
+    n_tries=15,
+    theta0=None,
+    method="L-BFGS-B",
+    skip_failures=True,
+    refit=False,
+    **kwargs,
+):
+    """Fit one or more GPs by minimizing the negative log posterior.
+
+    Drop-in equivalent of the reference entry point
+    (``fitting.py:16-186``): accepts an existing ``GaussianProcess`` /
+    ``MultiOutputGP``, or constructor arguments for building one; runs
+    ``n_tries`` restarts (first from ``theta0`` when provided, the rest
+    sampled from the priors) and keeps the best finite result.  All
+    restarts -- and for multi-output fitting, all outputs -- run
+    batched on device in a single XLA program.
+    """
+    if len(args) == 1:
+        gp = args[0]
+        if isinstance(gp, MultiOutputGP):
+            gp = _fit_MOGP_MAP(gp, n_tries, theta0, method, refit, **kwargs)
+        elif isinstance(gp, GaussianProcessBase):
+            gp = _fit_single_GP_MAP(gp, n_tries, theta0, method, **kwargs)
+        else:
+            raise TypeError(
+                "single arg to fit_GP_MAP must be a GaussianProcess or "
+                "MultiOutputGP instance"
+            )
+    elif len(args) < 2:
+        raise TypeError("missing required inputs/targets arrays to GaussianProcess")
+    else:
+        gp_kwargs = {}
+        for key in _GP_KWARGS:
+            if key in kwargs:
+                gp_kwargs[key] = kwargs.pop(key)
+        try:
+            gp = GaussianProcess(*args, **gp_kwargs)
+            gp = _fit_single_GP_MAP(gp, n_tries, theta0, method, **kwargs)
+        except AssertionError:
+            try:
+                gp = MultiOutputGP(*args, **gp_kwargs)
+                gp = _fit_MOGP_MAP(gp, n_tries, theta0, method, refit, **kwargs)
+            except AssertionError:
+                raise ValueError("Bad values for *args in fit_GP_MAP")
+
+    if isinstance(gp, GaussianProcessBase):
+        if gp.theta.get_data() is None:
+            raise RuntimeError("GP fitting failed")
+    else:
+        if len(gp.get_indices_not_fit()) > 0:
+            failure_string = "Fitting failed for emulators {}".format(
+                gp.get_indices_not_fit()
+            )
+            if skip_failures:
+                print(failure_string)
+            else:
+                raise RuntimeError(failure_string)
+    return gp

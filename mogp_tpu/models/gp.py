@@ -1,0 +1,654 @@
+"""Gaussian Process emulator: functional core + reference-parity class.
+
+TPU-native re-design of ``mogp_emulator/GaussianProcess.py`` (CUDA
+analogue ``mogp_gpu/src/densegp_gpu.hpp``).  The reference's mutable
+cached-state object (``fit``/``logposterior``/``logpost_deriv`` with
+refit checks, ``GaussianProcess.py:606-782``) dissolves into three pure
+jittable functions over a ``GPData`` pytree:
+
+* ``gp_fit``      -- all fit-time artifacts + negative log posterior,
+                     implementing the marginalized-mean math of
+                     ``GaussianProcess.fit`` (``GaussianProcess.py:655-685``).
+* ``gp_nlp``      -- scalar negative log posterior (the optimization
+                     objective); its gradient is ``jax.grad(gp_nlp)``,
+                     replacing the hand-derived ``logpost_deriv``
+                     (``GaussianProcess.py:711-782``) and the CUDA
+                     derivative kernels (``densegp_gpu.hpp:663-766``).
+* ``gp_predict``  -- predictive mean/variance/full covariance with the
+                     mean-correction term (``GaussianProcess.py:818-927``).
+
+Because the functions are pure and shape-static, ``vmap`` batches them
+over outputs and optimizer restarts, and ``pjit`` shards those batch axes
+over a TPU mesh -- that is the whole multi-output/multi-process story of
+the reference (``MultiOutputGP.py``, ``fitting.py:333-335``) collapsed
+into XLA program structure.
+
+The ``GaussianProcess`` class at the bottom keeps the reference's
+constructor and method surface for drop-in familiarity.
+"""
+
+import warnings
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import default_dtype
+from ..ops.cholesky import cholesky_factor
+from ..ops.kernels import get_kernel
+from .meanfun import design_matrix
+from .params import GPParams, _process_nugget
+from .priors import GPPriors, MeanPriors, dist_logp
+
+__all__ = [
+    "GPData",
+    "FitArtifacts",
+    "gp_fit",
+    "gp_nlp",
+    "gp_predict",
+    "GaussianProcess",
+    "PredictResult",
+]
+
+
+class GPData(NamedTuple):
+    """Training data + packed priors for one GP; a pure array pytree.
+
+    All leaves are arrays so a stack of ``GPData`` (over outputs) is just
+    a ``GPData`` with a leading axis, ready for ``vmap``/``pjit``.
+
+    Mean-prior information is stored in unrolled array form (zeros for
+    weak priors) so the marginalized-mean math needs no conditionals:
+    ``mean_mean`` = prior mean ``b`` (M,), ``mean_inv_cov`` = ``B^-1``
+    (M, M), ``mean_inv_cov_b`` = ``B^-1 b`` (M,), ``mean_logdet_cov`` =
+    ``log det B`` (scalar), ``n_coeff`` = the effective coefficient count
+    in the 2-pi normalization (``GaussianProcess.py:674-677``).
+    """
+
+    inputs: jnp.ndarray       # (n, D)
+    targets: jnp.ndarray      # (n,)
+    dm: jnp.ndarray           # (n, M)
+    prior_codes: jnp.ndarray  # (P,) int32
+    prior_a: jnp.ndarray      # (P,)
+    prior_b: jnp.ndarray      # (P,)
+    fixed_nugget: jnp.ndarray    # scalar; only used for nugget_type="fixed"
+    mean_mean: jnp.ndarray       # (M,)
+    mean_inv_cov: jnp.ndarray    # (M, M)
+    mean_inv_cov_b: jnp.ndarray  # (M,)
+    mean_logdet_cov: jnp.ndarray  # scalar
+    n_coeff: jnp.ndarray          # scalar
+
+
+class FitArtifacts(NamedTuple):
+    """Everything cached by the reference ``fit`` (``GaussianProcess.py:655-685``)."""
+
+    raw: jnp.ndarray          # raw hyperparameters used for the fit
+    Kinv: object              # ChoFactor or PivotedChoFactor of K (+nugget)
+    Ainv: object              # ChoFactor of A = H^T K^-1 H + B^-1
+    mean: jnp.ndarray         # analytic mean coefficients beta_hat (M,)
+    Kinv_t_mean: jnp.ndarray  # K^-1 (y - H beta_hat)  (n,)
+    nugget: jnp.ndarray       # realized nugget (adaptive jitter / fit / fixed)
+    logpost: jnp.ndarray      # negative log posterior (scalar)
+
+
+def make_gp_data(inputs, targets, dm, priors, nugget_value=0.0, dtype=None):
+    """Assemble a ``GPData`` pytree from host-side objects."""
+    dtype = dtype or default_dtype()
+    inputs = jnp.asarray(inputs, dtype=dtype)
+    targets = jnp.asarray(targets, dtype=dtype)
+    dm = jnp.asarray(dm, dtype=dtype)
+    n, M = dm.shape
+
+    codes, a, b, _ = priors.packed()
+    mp = priors.mean
+    if mp.has_weak_priors:
+        mean_mean = jnp.zeros((M,), dtype=dtype)
+        mean_inv_cov = jnp.zeros((M, M), dtype=dtype)
+        mean_inv_cov_b = jnp.zeros((M,), dtype=dtype)
+        mean_logdet = jnp.zeros((), dtype=dtype)
+        n_coeff = jnp.asarray(n - M, dtype=dtype)
+    else:
+        mean_mean = jnp.asarray(mp.mean, dtype=dtype)
+        mean_inv_cov = jnp.asarray(mp.inv_cov(), dtype=dtype).reshape(M, M)
+        mean_inv_cov_b = jnp.asarray(mp.inv_cov_b(), dtype=dtype).reshape(M)
+        mean_logdet = jnp.asarray(mp.logdet_cov(), dtype=dtype)
+        n_coeff = jnp.asarray(n, dtype=dtype)
+
+    return GPData(
+        inputs=inputs,
+        targets=targets,
+        dm=dm,
+        prior_codes=jnp.asarray(codes),
+        prior_a=jnp.asarray(a, dtype=dtype),
+        prior_b=jnp.asarray(b, dtype=dtype),
+        fixed_nugget=jnp.asarray(
+            0.0 if nugget_value is None else nugget_value, dtype=dtype
+        ),
+        mean_mean=mean_mean,
+        mean_inv_cov=mean_inv_cov,
+        mean_inv_cov_b=mean_inv_cov_b,
+        mean_logdet_cov=mean_logdet,
+        n_coeff=n_coeff,
+    )
+
+
+def _prior_logp(data: GPData, raw, n_corr, nugget_type):
+    """Packed-prior log density of the raw vector (batch-friendly)."""
+    corr = jnp.exp(-0.5 * raw[:n_corr])
+    cov = jnp.exp(raw[n_corr : n_corr + 1])
+    vals = [corr, cov]
+    if nugget_type == "fit":
+        vals.append(jnp.exp(raw[-1:]))
+    vals = jnp.concatenate(vals)
+    return jnp.sum(
+        jax.vmap(dist_logp)(data.prior_codes, data.prior_a, data.prior_b, vals)
+    )
+
+
+@partial(jax.jit, static_argnames=("kernel", "nugget_type"))
+def gp_fit(raw, data: GPData, kernel, nugget_type):
+    """Compute all fit-time artifacts for raw hyperparameters ``raw``.
+
+    Implements ``GaussianProcess.fit`` (``GaussianProcess.py:629-685``):
+    covariance build, nugget-aware factorization, analytic mean solve, and
+    the negative log posterior including the prior term.
+    """
+    n_corr = kernel.get_n_params(data.inputs)
+    corr_raw = raw[:n_corr]
+    sigma2 = jnp.exp(raw[n_corr])
+
+    if nugget_type == "fit":
+        nugget = jnp.exp(raw[-1])
+    elif nugget_type == "fixed":
+        nugget = data.fixed_nugget
+    else:
+        nugget = jnp.zeros((), dtype=data.inputs.dtype)
+
+    m = jnp.dot(data.dm, data.mean_mean)
+    K = sigma2 * kernel.kernel_f(data.inputs, data.inputs, corr_raw)
+    Kinv, nugget = cholesky_factor(K, nugget, nugget_type)
+
+    # A = H^T K^-1 H + B^-1  (linalg_utils.py:5-40)
+    from ..ops.cholesky import ChoFactor, fixed_cholesky
+
+    A = jnp.dot(data.dm.T, Kinv.solve(data.dm)) + data.mean_inv_cov
+    Ainv = ChoFactor(fixed_cholesky(A))
+
+    Kinv_t = Kinv.solve(data.targets - m)
+    H_Kinv_t = jnp.dot(data.dm.T, Kinv_t)
+
+    mean = Ainv.solve(H_Kinv_t + data.mean_inv_cov_b)
+    Kinv_t_mean = Kinv.solve(data.targets - jnp.dot(data.dm, mean))
+
+    logpost = 0.5 * (
+        jnp.dot(data.targets - m, Kinv_t)
+        - jnp.dot(H_Kinv_t, Ainv.solve(H_Kinv_t))
+        + Kinv.logdet()
+        + Ainv.logdet()
+        + data.mean_logdet_cov
+        + data.n_coeff * jnp.log(2.0 * jnp.pi)
+    )
+    logpost = logpost - _prior_logp(data, raw, n_corr, nugget_type)
+
+    return FitArtifacts(
+        raw=raw,
+        Kinv=Kinv,
+        Ainv=Ainv,
+        mean=mean,
+        Kinv_t_mean=Kinv_t_mean,
+        nugget=nugget,
+        logpost=logpost,
+    )
+
+
+def gp_nlp(raw, data: GPData, kernel, nugget_type):
+    """Negative log posterior (the MAP objective).  ``jax.grad`` of this
+    replaces ``logpost_deriv`` (``GaussianProcess.py:711-782``)."""
+    return gp_fit(raw, data, kernel, nugget_type).logpost
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "nugget_type", "unc", "include_nugget", "full_cov"),
+)
+def gp_predict(
+    artifacts: FitArtifacts,
+    data: GPData,
+    testing,
+    dmtest,
+    kernel,
+    nugget_type,
+    unc=True,
+    include_nugget=True,
+    full_cov=False,
+):
+    """Predictive mean and (co)variance (``GaussianProcess.py:818-927``).
+
+    :param testing: ``(n_predict, D)`` query points.
+    :param dmtest: ``(n_predict, M)`` design matrix of the query points.
+    :returns: ``(mu, var)``; ``var`` is ``None`` if ``unc`` is False,
+              ``(n_predict,)`` variances, or ``(n_predict, n_predict)``
+              full covariance if ``full_cov``.
+    """
+    n_corr = kernel.get_n_params(data.inputs)
+    corr_raw = artifacts.raw[:n_corr]
+    sigma2 = jnp.exp(artifacts.raw[n_corr])
+
+    mtest = jnp.dot(dmtest, artifacts.mean)
+    Ktest = sigma2 * kernel.kernel_f(data.inputs, testing, corr_raw)  # (n, m)
+
+    mu = mtest + jnp.dot(Ktest.T, artifacts.Kinv_t_mean)
+
+    if not unc:
+        return mu, None
+
+    Kinv_Ktest = artifacts.Kinv.solve(Ktest)
+    R = dmtest.T - jnp.dot(data.dm.T, Kinv_Ktest)  # (M, m)
+
+    if full_cov:
+        sigma_2 = sigma2 * kernel.kernel_f(testing, testing, corr_raw)
+        if include_nugget and nugget_type != "pivot":
+            sigma_2 = sigma_2 + jnp.eye(
+                testing.shape[0], dtype=sigma_2.dtype
+            ) * artifacts.nugget
+        Linv_Ktest = artifacts.Kinv.solve_L(Ktest)
+        LAinv_R = artifacts.Ainv.solve_L(R)
+        var = (
+            sigma_2
+            - jnp.dot(Linv_Ktest.T, Linv_Ktest)
+            + jnp.dot(LAinv_R.T, LAinv_R)
+        )
+    else:
+        sigma_2 = sigma2
+        if include_nugget and nugget_type != "pivot":
+            sigma_2 = sigma_2 + artifacts.nugget
+        var = jnp.maximum(
+            sigma_2
+            - jnp.sum(Ktest * Kinv_Ktest, axis=0)
+            + jnp.sum(R * artifacts.Ainv.solve(R), axis=0),
+            0.0,
+        )
+    return mu, var
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity class
+# ---------------------------------------------------------------------------
+
+class PredictResult(dict):
+    """Prediction results: dict/tuple/attribute hybrid
+    (``GaussianProcess.py:948-1026``)."""
+
+    _fields = ("mean", "unc", "deriv")
+
+    def __init__(self, mean=None, unc=None, deriv=None):
+        super().__init__(mean=mean, unc=unc, deriv=deriv)
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            return dict.__getitem__(self, self._fields[key])
+        return dict.__getitem__(self, key)
+
+    def __iter__(self):
+        return iter(self[f] for f in self._fields)
+
+    def __len__(self):
+        return 3
+
+
+class GaussianProcessBase:
+    pass
+
+
+class GaussianProcess(GaussianProcessBase):
+    """Single-output GP emulator with the reference API surface
+    (``GaussianProcess.py:20-947``), backed by the jitted functional core.
+
+    Example::
+
+        >>> import numpy as np
+        >>> from mogp_tpu import GaussianProcess, fit_GP_MAP
+        >>> x = np.array([[1., 2., 3.], [4., 5., 6.]])
+        >>> y = np.array([4., 6.])
+        >>> gp = GaussianProcess(x, y)
+        >>> gp = fit_GP_MAP(gp)
+        >>> mu, var, _ = gp.predict(np.array([[2., 3., 4.]]))
+    """
+
+    def __init__(
+        self,
+        inputs,
+        targets,
+        mean=None,
+        kernel="SquaredExponential",
+        priors=None,
+        nugget="adaptive",
+        inputdict={},
+        use_patsy=True,
+    ):
+        inputs = self._process_inputs(inputs)
+        targets = np.asarray(targets, dtype=np.float64)
+        assert targets.ndim == 1
+        assert targets.shape[0] == inputs.shape[0]
+
+        self.kernel = get_kernel(kernel)
+        self._inputs = inputs
+        self._targets = targets
+
+        if inputdict:
+            warnings.warn(
+                "The inputdict interface for mean functions has been deprecated.",
+                DeprecationWarning,
+            )
+        if not use_patsy:
+            warnings.warn(
+                "formulae are parsed natively; the use_patsy option is ignored.",
+                DeprecationWarning,
+            )
+
+        self._mean = mean
+        self._dm = design_matrix(mean, self._inputs)
+
+        nugget_value, self._nugget_type = _process_nugget(nugget)
+
+        self._set_priors(priors)
+
+        self._theta = GPParams(
+            n_mean=self.n_mean, n_corr=self.n_corr, nugget=nugget
+        )
+        self._nugget_value = nugget_value
+
+        self._data = make_gp_data(
+            self._inputs,
+            self._targets,
+            self._dm,
+            self._priors,
+            nugget_value=nugget_value if nugget_value is not None else 0.0,
+        )
+        self._artifacts = None
+
+    # -- basic properties ---------------------------------------------------
+
+    @property
+    def inputs(self):
+        return self._inputs
+
+    @property
+    def targets(self):
+        return self._targets
+
+    @property
+    def n(self):
+        return self._inputs.shape[0]
+
+    @property
+    def D(self):
+        return self._inputs.shape[1]
+
+    @property
+    def n_mean(self):
+        return self._dm.shape[1]
+
+    @property
+    def n_corr(self):
+        return self.kernel.get_n_params(self._inputs)
+
+    @property
+    def n_params(self):
+        """Number of fitting parameters (``GaussianProcess.py:300-320``)."""
+        return self.n_corr + 1 + int(self._nugget_type == "fit")
+
+    @property
+    def nugget_type(self):
+        return self._nugget_type
+
+    @property
+    def nugget(self):
+        return self._theta.nugget
+
+    @property
+    def theta(self):
+        """Current hyperparameters as ``GPParams`` (``GaussianProcess.py:383``)."""
+        return self._theta
+
+    @theta.setter
+    def theta(self, newtheta):
+        if newtheta is None:
+            self._theta = GPParams(
+                n_mean=self.n_mean,
+                n_corr=self.n_corr,
+                nugget=(
+                    self._nugget_value
+                    if self._nugget_type == "fixed"
+                    else self._nugget_type
+                ),
+            )
+            self._artifacts = None
+        else:
+            self.fit(newtheta)
+
+    @property
+    def priors(self):
+        return self._priors
+
+    def _set_priors(self, priors):
+        """Resolve the priors argument (``GaussianProcess.py:440-483``)."""
+        if priors is None:
+            self._priors = GPPriors.default_priors(
+                self._inputs, self.n_corr, nugget_type=self._nugget_type
+            )
+        elif isinstance(priors, GPPriors):
+            self._priors = priors
+        elif isinstance(priors, dict):
+            self._priors = GPPriors(**priors)
+        else:
+            raise ValueError(
+                "priors must be a GPPriors object, dict of kwargs, or None"
+            )
+        if self._priors.n_mean > 0:
+            assert self._priors.n_mean == self.n_mean
+        assert self._priors.n_corr == self.n_corr, (
+            "bad number of correlation lengths in GPPriors object"
+        )
+        assert self._priors.nugget_type == self._nugget_type, (
+            "nugget type of GPPriors object does not match"
+        )
+
+    # -- design / covariance helpers ---------------------------------------
+
+    def get_design_matrix(self, inputs):
+        """Design matrix for a set of inputs (``GaussianProcess.py:485-515``)."""
+        inputs = self._process_inputs(inputs)
+        assert inputs.shape[1] == self.D, "bad shape for inputs"
+        return design_matrix(self._mean, inputs)
+
+    def get_cov_matrix(self, other_inputs):
+        """Covariance of training inputs vs ``other_inputs``
+        (``GaussianProcess.py:517-543``)."""
+        other = self._process_inputs(other_inputs)
+        return np.asarray(
+            self._theta.cov
+            * self.kernel.kernel_f(self._inputs, other, self._theta.corr_raw)
+        )
+
+    def get_K_matrix(self):
+        """Current training covariance, without nugget
+        (``GaussianProcess.py:545-558``)."""
+        return self.get_cov_matrix(self._inputs)
+
+    def _process_inputs(self, inputs):
+        inputs = np.asarray(inputs, dtype=np.float64)
+        if inputs.ndim == 1:
+            if not hasattr(self, "_inputs") or self.D == 1:
+                inputs = np.reshape(inputs, (-1, 1))
+            else:
+                inputs = np.reshape(inputs, (1, -1))
+        assert inputs.ndim == 2, "bad shape for input"
+        if hasattr(self, "_inputs"):
+            assert inputs.shape[1] == self.D, (
+                "second dimension of other inputs must match the number of "
+                "input parameters"
+            )
+        return inputs
+
+    # -- fitting ------------------------------------------------------------
+
+    def _coerce_theta(self, theta):
+        if isinstance(theta, GPParams):
+            assert self._theta.same_shape(theta), "bad shape for hyperparameters"
+            if theta.mean is not None and theta.n_mean > 0:
+                warnings.warn(
+                    "Setting mean parameters with a GPParams object is not "
+                    "supported. The provided values will be overwritten with "
+                    "the analytical mean solution."
+                )
+            raw = theta.get_data()
+        else:
+            raw = np.asarray(theta, dtype=np.float64)
+            assert self._theta.same_shape(raw), "bad shape for hyperparameters"
+        return raw
+
+    def fit(self, theta):
+        """Fit the emulator at hyperparameters ``theta``
+        (``GaussianProcess.py:629-685``)."""
+        raw = self._coerce_theta(theta)
+        dtype = self._data.inputs.dtype
+        arts = gp_fit(
+            jnp.asarray(raw, dtype=dtype),
+            self._data,
+            self.kernel,
+            self._nugget_type,
+        )
+        self._artifacts = arts
+        self._theta.set_data(raw)
+        self._theta.mean = np.asarray(arts.mean, dtype=np.float64)
+        if self._nugget_type == "adaptive":
+            self._theta.nugget = float(arts.nugget)
+        self.current_logpost = float(arts.logpost)
+
+    @property
+    def Kinv(self):
+        return None if self._artifacts is None else self._artifacts.Kinv
+
+    @property
+    def Ainv(self):
+        return None if self._artifacts is None else self._artifacts.Ainv
+
+    @property
+    def Kinv_t_mean(self):
+        return None if self._artifacts is None else self._artifacts.Kinv_t_mean
+
+    def logposterior(self, theta):
+        """Negative log posterior at ``theta`` (``GaussianProcess.py:688-709``)."""
+        if self._refit(theta):
+            self.fit(theta)
+        return self.current_logpost
+
+    def logpost_deriv(self, theta):
+        """Gradient of the negative log posterior via ``jax.grad``
+        (replaces ``GaussianProcess.py:711-782``)."""
+        theta = np.asarray(theta, dtype=np.float64)
+        if self._refit(theta):
+            self.fit(theta)
+        dtype = self._data.inputs.dtype
+        g = _gp_nlp_grad(
+            jnp.asarray(theta, dtype=dtype),
+            self._data,
+            self.kernel,
+            self._nugget_type,
+        )
+        return np.asarray(g, dtype=np.float64)
+
+    def logpost_hessian(self, theta):
+        """Hessian of the negative log posterior via ``jax.hessian``.
+
+        The reference raises ``NotImplementedError``
+        (``GaussianProcess.py:784-816``); autodiff gives it for free here.
+        """
+        theta = np.asarray(theta, dtype=np.float64)
+        if self._refit(theta):
+            self.fit(theta)
+        dtype = self._data.inputs.dtype
+        h = _gp_nlp_hessian(
+            jnp.asarray(theta, dtype=dtype),
+            self._data,
+            self.kernel,
+            self._nugget_type,
+        )
+        return np.asarray(h, dtype=np.float64)
+
+    def _refit(self, newtheta):
+        """Refit check (``GaussianProcess.py:606-627``)."""
+        current = self._theta.get_data()
+        if current is None or self._artifacts is None:
+            return True
+        newtheta = np.asarray(newtheta)
+        return not np.allclose(newtheta, current, rtol=1.0e-10, atol=1.0e-15)
+
+    # -- prediction ---------------------------------------------------------
+
+    def predict(
+        self, testing, unc=True, deriv=False, include_nugget=True, full_cov=False
+    ):
+        """Predict mean/variance at query points
+        (``GaussianProcess.py:818-927``)."""
+        if self._theta.get_data() is None or self._artifacts is None:
+            raise ValueError(
+                "hyperparameters have not been fit for this Gaussian Process"
+            )
+        testing = self._process_inputs(testing)
+        dmtest = self.get_design_matrix(testing)
+        dtype = self._data.inputs.dtype
+
+        mu, var = gp_predict(
+            self._artifacts,
+            self._data,
+            jnp.asarray(testing, dtype=dtype),
+            jnp.asarray(dmtest, dtype=dtype),
+            self.kernel,
+            self._nugget_type,
+            unc=bool(unc),
+            include_nugget=bool(include_nugget),
+            full_cov=bool(full_cov),
+        )
+
+        if deriv:
+            warnings.warn(
+                "Prediction derivatives have been deprecated and are no "
+                "longer supported",
+                DeprecationWarning,
+            )
+        mu = np.asarray(mu, dtype=np.float64)
+        var = None if var is None else np.asarray(var, dtype=np.float64)
+        return PredictResult(mean=mu, unc=var, deriv=None)
+
+    def __call__(self, testing):
+        return self.predict(testing, unc=False, deriv=False)[0]
+
+    def __str__(self):
+        return (
+            "Gaussian Process with "
+            + str(self.n)
+            + " training examples and "
+            + str(self.D)
+            + " input variables"
+        )
+
+
+@partial(jax.jit, static_argnames=("kernel", "nugget_type"))
+def _gp_nlp_grad(raw, data, kernel, nugget_type):
+    return jax.grad(gp_nlp)(raw, data, kernel, nugget_type)
+
+
+@partial(jax.jit, static_argnames=("kernel", "nugget_type"))
+def _gp_nlp_hessian(raw, data, kernel, nugget_type):
+    return jax.hessian(gp_nlp)(raw, data, kernel, nugget_type)

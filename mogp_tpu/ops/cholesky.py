@@ -1,0 +1,258 @@
+"""Nugget-aware Cholesky factorizations, jittable end-to-end.
+
+TPU-native re-design of ``mogp_emulator/linalg/cholesky.py`` (and the CUDA
+adaptive-jitter loop in ``mogp_gpu/src/densegp_gpu.hpp:524-562``):
+
+* ``fixed_cholesky``  -- plain lower Cholesky (``cholesky.py:225``).
+* ``jit_cholesky``    -- adaptive-jitter escalation (``cholesky.py:234``)
+  expressed as a ``lax.while_loop`` over jitter exponents; a failed
+  factorization is detected via the NaN fill that XLA produces for
+  non-positive-definite inputs instead of a LAPACK info code.  Failure
+  after ``maxtries`` yields an all-NaN factor, which propagates to a NaN
+  log-posterior and reproduces the reference's skip-failed-restarts
+  semantics (``fitting.py:252-255``) without host-side exceptions.
+* ``pivoted_cholesky`` -- a jittable left-looking outer-product pivoted
+  Cholesky replacing LAPACK ``dpstrf`` (``cholesky.py:284-327``), with the
+  same synthetic decreasing diagonal for the rank-deficient tail so the
+  log-determinant semantics match.  Solves mask out the rank-deficient
+  directions ("collinear rows are skipped").
+
+Factors are NamedTuple pytrees (``ChoFactor``, ``PivotedChoFactor``) so
+they flow through ``jit``/``vmap``/``grad`` and can be stored in model
+state; they expose the same ``solve`` / ``solve_L`` / ``logdet`` surface
+as the reference's ``ChoInv`` / ``ChoInvPivot`` (``cholesky.py:6-165``).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+from jax.scipy.special import gammaln
+
+__all__ = [
+    "ChoFactor",
+    "PivotedChoFactor",
+    "fixed_cholesky",
+    "jit_cholesky",
+    "pivoted_cholesky",
+    "cholesky_factor",
+]
+
+
+def _chol(A):
+    """Lower Cholesky; XLA fills the result with NaNs when not PD."""
+    return lax.linalg.cholesky(A)
+
+
+class ChoFactor(NamedTuple):
+    """Lower-triangular Cholesky factor with reference ``ChoInv`` surface.
+
+    ``solve``/``solve_L``/``logdet`` mirror ``linalg/cholesky.py:22-79``.
+    Zero-size factors (no mean parameters) are handled by shape, which is
+    static under jit.
+    """
+
+    L: jnp.ndarray
+
+    def solve(self, b):
+        """Solve ``A x = b`` given ``A = L L^T`` (``cholesky.py:22``)."""
+        if self.L.shape[0] == 0:
+            return jnp.zeros_like(b)
+        y = solve_triangular(self.L, b, lower=True)
+        return solve_triangular(self.L.T, y, lower=False)
+
+    def solve_L(self, b):
+        """Solve ``L x = b`` (matrix square root solve, ``cholesky.py:44``)."""
+        if self.L.shape[0] == 0:
+            return jnp.zeros_like(b)
+        return solve_triangular(self.L, b, lower=True)
+
+    def logdet(self):
+        """``log det A = 2 sum log diag L`` (``cholesky.py:67``)."""
+        if self.L.shape[0] == 0:
+            return jnp.zeros((), dtype=self.L.dtype)
+        return 2.0 * jnp.sum(jnp.log(jnp.diag(self.L)))
+
+
+class PivotedChoFactor(NamedTuple):
+    """Pivoted Cholesky factor (reference ``ChoInvPivot``, ``cholesky.py:82``).
+
+    ``P`` is the pivot permutation (``A[P][:, P] ~= L L^T``), ``rank`` the
+    numerical rank.  Solves drop components in the rank-deficient tail,
+    implementing the documented "skip collinear rows" semantics.
+    """
+
+    L: jnp.ndarray
+    P: jnp.ndarray
+    rank: jnp.ndarray
+
+    def _mask(self, x):
+        idx = jnp.arange(x.shape[0])
+        keep = idx < self.rank
+        if x.ndim > 1:
+            keep = keep.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.where(keep, x, 0.0)
+
+    def solve(self, b):
+        """Permuted solve with rank masking (``cholesky.py:106-133``)."""
+        y = self._mask(solve_triangular(self.L, b[self.P], lower=True))
+        x = solve_triangular(self.L.T, y, lower=False)
+        return x[jnp.argsort(self.P)]
+
+    def solve_L(self, b):
+        """Permuted triangular solve (``cholesky.py:135-165``)."""
+        return self._mask(solve_triangular(self.L, b[self.P], lower=True))
+
+    def logdet(self):
+        return 2.0 * jnp.sum(jnp.log(jnp.diag(self.L)))
+
+
+def fixed_cholesky(A):
+    """Cholesky decomposition with fixed noise level (``cholesky.py:225``)."""
+    return _chol(A)
+
+
+def jit_cholesky(A, maxtries=5):
+    """Jittered Cholesky decomposition (``cholesky.py:234-281``).
+
+    Tries an exact factorization first; on failure adds
+    ``mean(diag(A)) * 1e-6 * 10**k`` to the diagonal for ``k = 0..maxtries-1``
+    until the factorization succeeds.  Runs as a ``lax.while_loop`` on a
+    gradient-stopped copy of ``A``; the returned factor is recomputed
+    outside the loop with the selected jitter (itself gradient-stopped,
+    mirroring the reference where the adaptive nugget is not a fit
+    parameter) so reverse-mode autodiff is well-defined.
+
+    :returns: ``(ChoFactor, jitter)``; the factor is all-NaN if even the
+              largest jitter fails (callers see a NaN log-posterior).
+    """
+    A_sg = lax.stop_gradient(A)
+    mean_diag = jnp.mean(jnp.diag(A_sg))
+    eye = jnp.eye(A.shape[0], dtype=A.dtype)
+
+    def jitter_for(k):
+        # k = 0 -> no jitter; k >= 1 -> mean_diag * 1e-6 * 10**(k-1)
+        return jnp.where(
+            k == 0,
+            jnp.zeros((), dtype=A.dtype),
+            mean_diag * 1e-6 * jnp.power(10.0, (k - 1).astype(A.dtype)),
+        )
+
+    def ok_for(k):
+        L = _chol(A_sg + jitter_for(k) * eye)
+        return jnp.all(jnp.isfinite(L))
+
+    def cond(k):
+        return jnp.logical_and(k <= maxtries, jnp.logical_not(ok_for(k)))
+
+    k_final = lax.while_loop(cond, lambda k: k + 1, jnp.zeros((), dtype=jnp.int32))
+    # k_final == maxtries + 1 means total failure; produce NaNs deliberately.
+    jitter = jnp.where(
+        k_final > maxtries,
+        jnp.full((), jnp.nan, dtype=A.dtype),
+        jitter_for(jnp.minimum(k_final, maxtries)),
+    )
+    L = _chol(A + jitter * eye)
+    return ChoFactor(L), jitter
+
+
+def pivoted_cholesky(A):
+    """Pivoted Cholesky decomposition (``cholesky.py:284-327``).
+
+    Left-looking outer-product algorithm with greedy diagonal pivoting
+    (the algorithm underlying LAPACK ``dpstrf``), expressed as a
+    ``lax.fori_loop`` so it jits with static shapes.  Each step does an
+    O(n) column update driven by one dense matvec, so total work is
+    O(n^3)/2 in fused XLA ops.
+
+    Rank determination uses the LAPACK ``dpstrf`` default tolerance
+    ``n * eps * max(diag)``.  Diagonal entries in the rank-deficient tail
+    are replaced with the synthetic decreasing sequence
+    ``L[r-1, r-1] / ((r+1) * (r+2) * ... )`` exactly as the reference does
+    (``cholesky.py:321-325``) so log-determinants agree; the factorial is
+    evaluated via ``gammaln`` to avoid overflow for large n.
+
+    :returns: ``PivotedChoFactor(L, P, rank)``.
+    """
+    n = A.shape[0]
+    dtype = A.dtype
+    eps = jnp.finfo(dtype).eps
+    idx = jnp.arange(n)
+
+    d0 = jnp.diag(A)
+    tol = n * eps * jnp.max(d0)
+
+    def swap_vec(v, i, j):
+        vi, vj = v[i], v[j]
+        return v.at[i].set(vj).at[j].set(vi)
+
+    def swap_sym(M, i, j):
+        M = M.at[i, :].set(M[j, :]).at[j, :].set(M[i, :])
+        return M.at[:, i].set(M[:, j]).at[:, j].set(M[:, i])
+
+    def body(k, state):
+        W, d, perm, rank, active = state
+        # greedy pivot: largest remaining Schur-complement diagonal
+        j = jnp.argmax(jnp.where(idx >= k, d, -jnp.inf))
+        W = swap_sym(W, k, j)
+        d = swap_vec(d, k, j)
+        perm = swap_vec(perm, k, j)
+
+        pivot = d[k]
+        active = jnp.logical_and(active, pivot > tol)
+
+        lkk = jnp.sqrt(jnp.maximum(pivot, eps))
+        # left-looking update: subtract contributions of columns < k
+        row_k = jnp.where(idx < k, W[k, :], 0.0)
+        col = (W[:, k] - W @ row_k) / lkk
+        newcol = jnp.where(idx == k, lkk, jnp.where(idx > k, col, W[:, k]))
+        W = jnp.where(active, W.at[:, k].set(newcol), W)
+        d = jnp.where(active, jnp.where(idx > k, d - col**2, d), d)
+        rank = rank + active.astype(jnp.int32)
+        return W, d, perm, rank, active
+
+    W0 = A
+    perm0 = jnp.arange(n)
+    rank0 = jnp.zeros((), dtype=jnp.int32)
+    W, d, perm, rank, _ = lax.fori_loop(
+        0, n, body, (W0, d0, perm0, rank0, jnp.array(True))
+    )
+
+    L = jnp.tril(W)
+    # synthetic decreasing diagonal for the deficient tail:
+    # L[i, i] = L[rank-1, rank-1] * rank! / (i+1)!   for i >= rank
+    l_rr = L[jnp.maximum(rank - 1, 0), jnp.maximum(rank - 1, 0)]
+    rank_f = rank.astype(dtype)
+    synth = l_rr * jnp.exp(gammaln(rank_f + 1.0) - gammaln(idx.astype(dtype) + 2.0))
+    diag_new = jnp.where(idx >= rank, synth, jnp.diag(L))
+    # zero the (meaningless) off-diagonal entries of deficient columns
+    col_ok = (idx < rank)[None, :]
+    L = jnp.where(col_ok, L, 0.0)
+    L = L.at[idx, idx].set(diag_new)
+    return PivotedChoFactor(L, perm, rank)
+
+
+def cholesky_factor(K, nugget, nugget_type):
+    """Dispatch factorization on nugget handling (``cholesky.py:168-193``).
+
+    :param K: covariance matrix (without nugget).
+    :param nugget: nugget value (traced scalar; ignored for ``adaptive`` /
+                   ``pivot``).
+    :param nugget_type: static string: ``"adaptive"``, ``"pivot"``,
+                        ``"fit"`` or ``"fixed"``.
+    :returns: ``(factor, nugget)`` where factor is a ``ChoFactor`` or
+              ``PivotedChoFactor`` and nugget is the (possibly updated)
+              nugget value.
+    """
+    if nugget_type == "adaptive":
+        factor, nugget = jit_cholesky(K)
+    elif nugget_type == "pivot":
+        factor = pivoted_cholesky(K)
+    elif nugget_type in ("fit", "fixed"):
+        Kn = K + nugget * jnp.eye(K.shape[0], dtype=K.dtype)
+        factor = ChoFactor(fixed_cholesky(Kn))
+    else:
+        raise ValueError("Bad value for nugget_type in cholesky_factor")
+    return factor, nugget

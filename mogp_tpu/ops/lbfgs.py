@@ -1,0 +1,220 @@
+"""Batched on-device L-BFGS.
+
+TPU-native replacement for the reference's optimizer drivers: scipy
+``minimize(method="L-BFGS-B")`` per restart (``fitting.py:244``) and the
+GPU backend's serial dlib BFGS (``mogp_gpu/src/fitting.hpp:91-99``).  The
+whole minimization -- two-loop recursion, line search, convergence tests
+-- is one ``lax.while_loop``, so it can be ``vmap``-ed over an
+(outputs x restarts) axis and ``pjit``-ed over a TPU mesh: every restart
+of every output advances in lockstep inside a single XLA program instead
+of a process pool (``fitting.py:333-335``).
+
+Failure semantics: a start whose objective is non-finite (non-PD
+covariance and similar), or whose line search cannot find a decrease,
+simply stops iterating and reports its best-seen point; NaN objectives
+propagate to the final value where the caller masks them out -- the
+XLA-friendly version of the reference's try/except-skip restart policy
+(``fitting.py:252-255``).
+
+The objective must be smooth; gradients come from ``jax.value_and_grad``.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["LBFGSResult", "lbfgs_minimize"]
+
+
+class LBFGSResult(NamedTuple):
+    x: jnp.ndarray          # final iterate
+    fun: jnp.ndarray        # objective at x (inf/NaN when failed)
+    grad: jnp.ndarray       # gradient at x
+    n_iter: jnp.ndarray     # iterations taken
+    converged: jnp.ndarray  # gradient/function tolerance reached
+
+
+class _State(NamedTuple):
+    x: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    S: jnp.ndarray        # (m, P) step history
+    Y: jnp.ndarray        # (m, P) grad-diff history
+    rho: jnp.ndarray      # (m,) 1 / s.y
+    gamma: jnp.ndarray    # H0 scaling
+    head: jnp.ndarray     # next write slot in circular buffers
+    n_hist: jnp.ndarray   # valid history entries
+    it: jnp.ndarray
+    done: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _two_loop(g, S, Y, rho, gamma, head, n_hist):
+    """Two-loop recursion producing the quasi-Newton direction -H g."""
+    m = S.shape[0]
+    ks = jnp.arange(m)
+
+    def newest_first(k):
+        return (head - 1 - k) % m
+
+    def bwd(carry, k):
+        q, alphas = carry
+        j = newest_first(k)
+        valid = k < n_hist
+        alpha = jnp.where(valid, rho[j] * jnp.dot(S[j], q), 0.0)
+        q = q - alpha * Y[j] * valid
+        return (q, alphas.at[j].set(alpha)), None
+
+    (q, alphas), _ = lax.scan(bwd, (g, jnp.zeros(m, dtype=g.dtype)), ks)
+    r = gamma * q
+
+    def fwd(r, k):
+        j = newest_first(m - 1 - k)
+        valid = (m - 1 - k) < n_hist
+        beta = jnp.where(valid, rho[j] * jnp.dot(Y[j], r), 0.0)
+        r = r + (alphas[j] - beta) * S[j] * valid
+        return r, None
+
+    r, _ = lax.scan(fwd, r, ks)
+    return -r
+
+
+def lbfgs_minimize(
+    fun,
+    x0,
+    maxiter=200,
+    gtol=1e-5,
+    ftol=1e-10,
+    memory=10,
+    max_linesearch=25,
+    c1=1e-4,
+    c2=0.9,
+):
+    """Minimize ``fun`` from ``x0`` with L-BFGS + weak-Wolfe backtracking.
+
+    :param fun: scalar objective ``f(x)``; differentiated with
+                ``jax.value_and_grad``.
+    :param x0: starting point ``(P,)``.
+    :returns: ``LBFGSResult``.  Jittable and vmappable.
+    """
+    value_and_grad = jax.value_and_grad(fun)
+    P = x0.shape[0]
+    dtype = x0.dtype
+    m = memory
+
+    f0, g0 = value_and_grad(x0)
+    bad_start = jnp.logical_not(jnp.isfinite(f0) & jnp.all(jnp.isfinite(g0)))
+
+    init = _State(
+        x=x0,
+        f=f0,
+        g=g0,
+        S=jnp.zeros((m, P), dtype=dtype),
+        Y=jnp.zeros((m, P), dtype=dtype),
+        rho=jnp.zeros((m,), dtype=dtype),
+        gamma=jnp.ones((), dtype=dtype),
+        head=jnp.zeros((), dtype=jnp.int32),
+        n_hist=jnp.zeros((), dtype=jnp.int32),
+        it=jnp.zeros((), dtype=jnp.int32),
+        done=bad_start,
+        converged=jnp.array(False),
+    )
+
+    def linesearch(x, f, g, d):
+        """Backtracking line search for Armijo + weak Wolfe conditions.
+
+        Evaluates value-and-grad per trial so the accepted point's
+        gradient is reused for the curvature update.
+        """
+        gd = jnp.dot(g, d)
+
+        def cond(carry):
+            t, ls_it, accepted, *_ = carry
+            return jnp.logical_and(ls_it < max_linesearch, jnp.logical_not(accepted))
+
+        def body(carry):
+            t, ls_it, accepted, xt, ft, gt = carry
+            x_new = x + t * d
+            f_new, g_new = value_and_grad(x_new)
+            armijo = f_new <= f + c1 * t * gd
+            wolfe = jnp.dot(g_new, d) >= c2 * gd
+            ok = jnp.logical_and(
+                jnp.isfinite(f_new), jnp.logical_and(armijo, wolfe)
+            )
+            # also accept plain Armijo on the final allowed trial
+            ok = jnp.logical_or(
+                ok,
+                jnp.logical_and(
+                    jnp.isfinite(f_new),
+                    jnp.logical_and(armijo, ls_it == max_linesearch - 1),
+                ),
+            )
+            xt = jnp.where(ok, x_new, xt)
+            ft = jnp.where(ok, f_new, ft)
+            gt = jnp.where(ok, g_new, gt)
+            return (t * 0.5, ls_it + 1, ok, xt, ft, gt)
+
+        t0 = jnp.ones((), dtype=dtype)
+        carry = (t0, jnp.zeros((), jnp.int32), jnp.array(False), x, f, g)
+        _, _, accepted, xt, ft, gt = lax.while_loop(cond, body, carry)
+        return accepted, xt, ft, gt
+
+    def step(state):
+        d = _two_loop(
+            state.g, state.S, state.Y, state.rho, state.gamma,
+            state.head, state.n_hist,
+        )
+        # safeguard: fall back to steepest descent if not a descent direction
+        descent = jnp.dot(state.g, d) < 0
+        d = jnp.where(descent, d, -state.g)
+
+        accepted, x_new, f_new, g_new = linesearch(state.x, state.f, state.g, d)
+
+        s = x_new - state.x
+        y = g_new - state.g
+        sy = jnp.dot(s, y)
+        curv_ok = sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y)
+        store = jnp.logical_and(accepted, curv_ok)
+
+        S = jnp.where(store, state.S.at[state.head].set(s), state.S)
+        Y = jnp.where(store, state.Y.at[state.head].set(y), state.Y)
+        rho = jnp.where(
+            store, state.rho.at[state.head].set(1.0 / sy), state.rho
+        )
+        head = jnp.where(store, (state.head + 1) % m, state.head)
+        n_hist = jnp.where(store, jnp.minimum(state.n_hist + 1, m), state.n_hist)
+        gamma = jnp.where(store, sy / jnp.dot(y, y), state.gamma)
+
+        g_conv = jnp.max(jnp.abs(g_new)) <= gtol
+        f_conv = jnp.abs(f_new - state.f) <= ftol * jnp.maximum(
+            jnp.abs(f_new), 1.0
+        )
+        converged = jnp.logical_and(
+            accepted, jnp.logical_or(g_conv, f_conv)
+        )
+        done = jnp.logical_or(converged, jnp.logical_not(accepted))
+
+        return _State(
+            x=jnp.where(accepted, x_new, state.x),
+            f=jnp.where(accepted, f_new, state.f),
+            g=jnp.where(accepted, g_new, state.g),
+            S=S, Y=Y, rho=rho, gamma=gamma, head=head, n_hist=n_hist,
+            it=state.it + 1,
+            done=done,
+            converged=converged,
+        )
+
+    def cond(state):
+        return jnp.logical_and(state.it < maxiter, jnp.logical_not(state.done))
+
+    final = lax.while_loop(cond, step, init)
+    return LBFGSResult(
+        x=final.x,
+        fun=final.f,
+        grad=final.g,
+        n_iter=final.it,
+        converged=final.converged,
+    )

@@ -1,0 +1,24 @@
+"""Test configuration: CPU parity mode.
+
+The test suite runs the framework on CPU in float64 against numpy/scipy
+oracles (the reference's test strategy: exact numerical oracles, see
+reference ``mogp_emulator/tests/``).  An 8-device virtual CPU platform is
+forced so mesh/sharding tests exercise real multi-device code paths
+without TPU hardware.
+
+This must run before any JAX backend is initialized (the axon TPU plugin
+registers itself at interpreter start via sitecustomize, but backends
+initialize lazily, so overriding here works).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["MOGP_TPU_DISABLE_PALLAS"] = "1"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
