@@ -27,8 +27,28 @@ from .models.priors import (
 )
 from .models.fitting import fit_GP_MAP
 from .models.mogp import MultiOutputGP
+from .uq.experimental_design import (
+    ExperimentalDesign,
+    LatinHypercubeDesign,
+    MaxiMinLHC,
+    MonteCarloDesign,
+)
+from .uq.sequential_design import MICEDesign, MICEFastGP, SequentialDesign
+from .uq.history_matching import HistoryMatching
+from .uq.dimension_reduction import gKDR
+from .uq import validation
 
 __all__ = [
+    "ExperimentalDesign",
+    "MonteCarloDesign",
+    "LatinHypercubeDesign",
+    "MaxiMinLHC",
+    "SequentialDesign",
+    "MICEDesign",
+    "MICEFastGP",
+    "HistoryMatching",
+    "gKDR",
+    "validation",
     "GaussianProcess",
     "PredictResult",
     "GPParams",

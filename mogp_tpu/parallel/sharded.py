@@ -1,0 +1,135 @@
+"""Sharded multi-output fitting and large-scale prediction sweeps.
+
+These wrappers place the batch axes of the already-batched cores
+(``models/fitting.py``, ``models/gp.py``) on a device mesh:
+
+* ``sharded_fit_mogp``  -- the (outputs x restarts) L-BFGS batch with the
+  outputs axis sharded over chips; the XLA program is identical to the
+  single-chip one, GSPMD partitions it.  This is the reference's
+  ``Pool.starmap`` over emulators (``fitting.py:333-335``) turned into
+  data parallelism over ICI.
+* ``sharded_predict``   -- query points sharded over chips for
+  HistoryMatching-scale sweeps (``HistoryMatching.py:197`` predicts over
+  ``ncoords >> 1e4`` points); each chip builds only its slice of the
+  cross-covariance and solves against the replicated factorization, so
+  no collectives are needed until a reduction is requested.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..models.fitting import _batched_fit_multi
+from ..models.gp import gp_predict
+from ..models.mogp import MultiOutputGP, _stack_pytrees
+from .mesh import auto_mesh, replicate, shard_leading
+
+__all__ = ["sharded_fit_mogp", "sharded_predict"]
+
+
+def _pad_leading(arr_or_tree, multiple):
+    """Pad every leaf's leading axis to a multiple (masked batch padding)."""
+
+    def pad(x):
+        n = x.shape[0]
+        rem = (-n) % multiple
+        if rem == 0:
+            return x
+        pad_widths = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad_widths, mode="edge")
+
+    return jax.tree_util.tree_map(pad, arr_or_tree)
+
+
+def sharded_fit_mogp(
+    gp: MultiOutputGP,
+    n_tries=15,
+    theta0=None,
+    mesh=None,
+    maxiter=200,
+    gtol=1e-5,
+    ftol=1e-10,
+):
+    """MAP-fit all outputs of a MultiOutputGP with outputs sharded on a mesh.
+
+    Requires a homogeneous configuration (single signature group).  Pads
+    the outputs axis up to the mesh size and drops padded results.
+    """
+    mesh = mesh or auto_mesh()
+    groups = gp._groups()
+    assert len(groups) == 1, (
+        "sharded_fit_mogp requires emulators with a homogeneous configuration"
+    )
+    ems = gp.emulators
+    em0 = ems[0]
+    dtype = em0._data.inputs.dtype
+    n_dev = mesh.shape[mesh.axis_names[0]]
+
+    from ..models.fitting import _gather_starts
+
+    starts = np.stack([_gather_starts(em, n_tries, theta0) for em in ems])
+    data = _stack_pytrees([em._data for em in ems])
+
+    starts = _pad_leading(jnp.asarray(starts, dtype=dtype), n_dev)
+    data = _pad_leading(data, n_dev)
+
+    starts = shard_leading(starts, mesh)
+    data = shard_leading(data, mesh)
+
+    res = _batched_fit_multi(
+        starts, data, em0.kernel, em0.nugget_type, maxiter, gtol, ftol
+    )
+    fun = np.asarray(res.fun, dtype=np.float64)[: len(ems)]
+    xs = np.asarray(res.x, dtype=np.float64)[: len(ems)]
+
+    for row, em in enumerate(ems):
+        finite = np.isfinite(fun[row])
+        if not finite.any():
+            em.theta = None
+        else:
+            idx = int(np.nanargmin(np.where(finite, fun[row], np.inf)))
+            em.fit(xs[row, idx])
+    return gp
+
+
+def sharded_predict(gp, testing, mesh=None, unc=True, include_nugget=True):
+    """Predict a single GP over a large, mesh-sharded set of query points.
+
+    ``testing`` is sharded along the query axis; fit artifacts and
+    training data are replicated.  Returns host numpy arrays.
+    """
+    mesh = mesh or auto_mesh()
+    n_dev = mesh.shape[mesh.axis_names[0]]
+    testing = np.asarray(testing, dtype=np.float64)
+    if testing.ndim == 1:
+        testing = testing.reshape(-1, gp.D)
+    n_query = testing.shape[0]
+
+    dtype = gp._data.inputs.dtype
+    dmtest = gp.get_design_matrix(testing)
+
+    testing_j = _pad_leading(jnp.asarray(testing, dtype=dtype), n_dev)
+    dmtest_j = _pad_leading(jnp.asarray(dmtest, dtype=dtype), n_dev)
+    spec = NamedSharding(mesh, P(mesh.axis_names[0], None))
+    testing_j = jax.device_put(testing_j, spec)
+    dmtest_j = jax.device_put(dmtest_j, spec)
+
+    arts = replicate(gp._artifacts, mesh)
+    data = replicate(gp._data, mesh)
+
+    mu, var = gp_predict(
+        arts,
+        data,
+        testing_j,
+        dmtest_j,
+        gp.kernel,
+        gp.nugget_type,
+        unc=unc,
+        include_nugget=include_nugget,
+        full_cov=False,
+    )
+    mu = np.asarray(mu, dtype=np.float64)[:n_query]
+    var = None if var is None else np.asarray(var, dtype=np.float64)[:n_query]
+    return mu, var

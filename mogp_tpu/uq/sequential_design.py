@@ -1,0 +1,432 @@
+"""Sequential (active-learning) experimental design, including MICE.
+
+TPU-native re-design of ``mogp_emulator/SequentialDesign.py``:
+
+* ``SequentialDesign`` keeps the reference's public workflow (generate
+  initial design, iterate get-next-point/set-next-target, save/load
+  state to ``.npz``; ``SequentialDesign.py:9-692``).
+* The MICE acquisition metric is *fully vectorized*: the reference fits
+  a ``MICEFastGP`` and loops the Woodbury-corrected leave-one-out
+  variance per candidate in Python (``SequentialDesign.py:955-962`` +
+  ``fast_predict``, ``:705-748``); here the blockwise-inversion identity
+  ``(Q_{-i,-i})^{-1}`` is expanded so *all* candidate variances come
+  from one matmul-dominated jitted program (``_loo_variances_all``).
+* Known reference defect avoided: ``MICEFastGP.fast_predict`` reads the
+  stale attribute ``self.L`` (``SequentialDesign.py:742``) which no
+  longer exists in the current GP API, and assigning the base GP's
+  ``GPParams`` to the fixed-nugget fast GP trips a nugget-type shape
+  check -- the corresponding reference tests are skipped
+  (``tests/test_SequentialDesign.py:857-906``).  This implementation
+  transfers the correlation/covariance raw parameters explicitly.
+"""
+
+from inspect import signature
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.fitting import fit_GP_MAP
+from ..models.gp import GaussianProcess
+from .experimental_design import ExperimentalDesign
+
+__all__ = ["SequentialDesign", "MICEDesign", "MICEFastGP"]
+
+
+class SequentialDesign:
+    """Base sequential design (``SequentialDesign.py:9-692``)."""
+
+    def __init__(self, base_design, f=None, n_samples=None, n_init=10, n_cand=50):
+        if not isinstance(base_design, ExperimentalDesign):
+            raise TypeError("base design must be a one-shot experimental design")
+        if f is not None:
+            if not callable(f):
+                raise TypeError("simulator f must be a function or other callable")
+            if not len(signature(f).parameters) == 1:
+                raise ValueError(
+                    "simulator f must accept all parameters as a single input array"
+                )
+        if n_samples is not None and int(n_samples) < 0:
+            raise ValueError("number of samples must be nonzero")
+        if int(n_init) <= 0:
+            raise ValueError("number of initial design points must be positive")
+        if int(n_cand) <= 0:
+            raise ValueError("number of candidate design points must be positive")
+
+        self.base_design = base_design
+        self.f = f
+        self.n_samples = None if n_samples is None else int(n_samples)
+        self.n_init = int(n_init)
+        self.n_cand = int(n_cand)
+
+        self.current_iteration = 0
+        self.initialized = False
+        self.inputs = None
+        self.targets = None
+        self.candidates = None
+
+    # -- persistence (``SequentialDesign.py:110-186``) ----------------------
+
+    def save_design(self, filename):
+        np.savez(
+            filename,
+            inputs=self.inputs,
+            targets=self.targets,
+            candidates=self.candidates,
+        )
+
+    def load_design(self, filename):
+        design_file = np.load(filename, allow_pickle=True)
+
+        def unwrap(name):
+            arr = np.array(design_file[name])
+            if arr.shape == () and arr.dtype == object:
+                return None
+            return arr
+
+        self.inputs = unwrap("inputs")
+        self.targets = unwrap("targets")
+        self.candidates = unwrap("candidates")
+
+        if self.inputs is None:
+            assert self.targets is None, (
+                "Cannot have targets without corresponding inputs"
+            )
+        else:
+            if self.targets is not None:
+                assert self.targets.ndim == 1, "bad number of dimensions for targets"
+                assert self.targets.shape[0] <= self.inputs.shape[0], (
+                    "targets cannot be longer than inputs"
+                )
+                self.initialized = True
+                self.current_iteration = self.targets.shape[0]
+            assert self.get_n_parameters() == self.inputs.shape[1], (
+                "Bad shape for inputs"
+            )
+            if self.inputs.shape[1] < self.n_init:
+                print("n_init greater than number of inputs, changing n_init")
+                self.n_init = self.inputs.shape[1]
+
+        if self.candidates is not None:
+            assert self.get_n_parameters() == self.candidates.shape[1], (
+                "Bad shape for candidates"
+            )
+            if self.candidates.shape[0] != self.n_cand:
+                print("shape of candidates differs from n_cand, candidates will "
+                      "be overridden")
+
+    # -- bookkeeping --------------------------------------------------------
+
+    def has_function(self):
+        return self.f is not None
+
+    def get_n_parameters(self):
+        return self.base_design.get_n_parameters()
+
+    def get_n_init(self):
+        return self.n_init
+
+    def get_n_samples(self):
+        return self.n_samples
+
+    def get_n_cand(self):
+        return self.n_cand
+
+    def get_current_iteration(self):
+        return self.current_iteration
+
+    def get_inputs(self):
+        return self.inputs
+
+    def get_targets(self):
+        return self.targets
+
+    def get_candidates(self):
+        return self.candidates
+
+    def get_base_design(self):
+        return type(self.base_design).__name__
+
+    # -- design flow (``SequentialDesign.py:326-692``) ----------------------
+
+    def generate_initial_design(self):
+        assert not self.initialized, "initial design has already been created"
+        self.inputs = self.base_design.sample(self.n_init)
+        self.current_iteration = self.n_init
+        return self.inputs
+
+    def set_initial_targets(self, targets):
+        if self.inputs is None:
+            raise ValueError("Initial design has not been generated")
+        assert self.inputs.shape == (self.n_init, self.get_n_parameters()), (
+            "inputs have not been initialized correctly"
+        )
+        targets = np.atleast_1d(np.squeeze(np.array(targets)))
+        assert targets.shape == (self.n_init,), (
+            "initial targets must have shape (n_init,)"
+        )
+        self.targets = np.array(targets)
+        self.initialized = True
+
+    def run_initial_design(self):
+        assert self.has_function(), (
+            "Design must have a bound function to use run_initial_design"
+        )
+        inputs = self.generate_initial_design()
+        targets = np.full((self.n_init,), np.nan)
+        for i in range(self.n_init):
+            targets[i] = np.array(self.f(inputs[i, :]))
+        assert np.all(np.isfinite(targets)), (
+            "error in initializing sequential design, function outputs may "
+            "not be the correct shape"
+        )
+        self.set_initial_targets(targets)
+
+    def _generate_candidates(self):
+        self.candidates = self.base_design.sample(self.n_cand)
+
+    def _eval_metric(self):
+        raise NotImplementedError(
+            "Base class for Sequential Design does not implement an "
+            "evaluation metric"
+        )
+
+    def _estimate_next_target(self, next_point):
+        raise NotImplementedError(
+            "_estimate_next_target not implemented for base SequentialDesign"
+        )
+
+    def get_batch_points(self, n_points):
+        """Batch acquisition substituting predicted targets
+        (``SequentialDesign.py:455-489``)."""
+        assert n_points > 0, "n_points must be positive"
+        batch_points = np.zeros((n_points, self.get_n_parameters()))
+        for i in range(n_points):
+            batch_points[i] = self.get_next_point()
+            next_target = self._estimate_next_target(batch_points[i])
+            self.set_next_target(next_target)
+        self.current_iteration = self.current_iteration - n_points
+        self.targets = np.array(self.targets[: self.current_iteration])
+        return batch_points
+
+    def get_next_point(self):
+        if self.inputs is None:
+            raise ValueError("Initial design has not been generated")
+        assert self.inputs.shape == (
+            self.current_iteration,
+            self.get_n_parameters(),
+        ), "inputs have not been correctly updated"
+        if self.targets is None:
+            raise ValueError("Initial targets have not been generated")
+        assert self.targets.shape == (self.current_iteration,), (
+            "targets have not been correctly updated"
+        )
+
+        self._generate_candidates()
+        next_index = self._eval_metric()
+
+        next_point = self.candidates[next_index, :]
+        self.inputs = np.vstack([self.inputs, next_point[None, :]])
+        return next_point
+
+    def set_batch_targets(self, new_targets):
+        if self.inputs is None:
+            raise ValueError("Initial design has not been generated")
+        n_points = self.inputs.shape[0] - self.current_iteration
+        if self.targets is None:
+            raise ValueError("Initial targets have not been generated")
+        assert self.targets.shape == (self.current_iteration,), (
+            "targets have not been correctly updated"
+        )
+        new_targets = np.reshape(np.atleast_1d(np.array(new_targets)), (-1,))
+        assert new_targets.shape == (n_points,), (
+            "new targets must have length n_points"
+        )
+        self.targets = np.concatenate([self.targets, new_targets])
+        self.current_iteration = self.current_iteration + n_points
+
+    def set_next_target(self, target):
+        if self.inputs is None:
+            raise ValueError("Initial design has not been generated")
+        assert self.inputs.shape == (
+            self.current_iteration + 1,
+            self.get_n_parameters(),
+        ), "inputs have not been correctly updated"
+        if self.targets is None:
+            raise ValueError("Initial targets have not been generated")
+        assert self.targets.shape == (self.current_iteration,), (
+            "targets have not been correctly updated"
+        )
+        target = np.reshape(np.atleast_1d(np.array(target)), (-1,))
+        assert target.shape == (1,), "new target must have length 1"
+        self.targets = np.concatenate([self.targets, target])
+        self.current_iteration = self.current_iteration + 1
+
+    def run_next_point(self):
+        assert self.has_function(), (
+            "Design must have a bound function to use run_next_point"
+        )
+        next_point = self.get_next_point()
+        next_target = np.array(self.f(next_point))
+        self.set_next_target(next_target)
+
+    def run_sequential_design(self, n_samples=None):
+        assert self.has_function(), (
+            "Design must have a bound function to use run_sequential_design"
+        )
+        if n_samples is None and self.n_samples is None:
+            raise ValueError(
+                "must specify n_samples either when initializing or calling "
+                "run_sequential_design"
+            )
+        n_iter = self.n_samples if n_samples is None else n_samples
+        assert n_iter >= 0, "number of samples must be non-negative"
+        self.run_initial_design()
+        for _ in range(n_iter):
+            self.run_next_point()
+
+    def __str__(self):
+        output_string = ""
+        output_string += type(self).__name__ + " with\n"
+        output_string += self.get_base_design() + " base design\n"
+        if self.has_function():
+            output_string += "a bound simulator function\n"
+        output_string += str(self.get_n_samples()) + " total samples\n"
+        output_string += str(self.get_n_init()) + " initial points\n"
+        output_string += str(self.get_n_cand()) + " candidate points\n"
+        output_string += str(self.get_current_iteration()) + " current samples\n"
+        output_string += "current inputs: " + str(self.get_inputs()) + "\n"
+        output_string += "current targets: " + str(self.get_targets())
+        return output_string
+
+
+@jax.jit
+def _loo_variances_all(C, invQ, sigma2_tot, cov):
+    """Leave-one-out corrected variances for every candidate at once.
+
+    For each i, the reference computes
+    ``v_i = s2 - k_i^T (Q_{-i,-i})^{-1} k_i`` with ``k_i = C[-i, i]``
+    via the Woodbury identity (``SequentialDesign.py:705-748``).  Using
+    blockwise inversion, with ``a = C[:, i]`` (full column, ``a_i =
+    cov``), ``I = invQ``:
+
+    ``k^T (Q_-i,-i)^-1 k = P1 - 2 a_i P2 + a_i^2 I_ii - (P2 - a_i I_ii)^2 / I_ii``
+
+    where ``P1 = a^T I a`` and ``P2 = (I a)_i`` -- all obtainable from
+    one n x n matmul.
+    """
+    B = invQ @ C                      # (n, n): B[:, i] = invQ @ C[:, i]
+    P1 = jnp.sum(C * B, axis=0)       # a^T invQ a
+    P2 = jnp.diag(B)                  # (invQ a)_i
+    Iii = jnp.diag(invQ)
+    quad = P1 - 2.0 * cov * P2 + cov**2 * Iii - (P2 - cov * Iii) ** 2 / Iii
+    return jnp.maximum(sigma2_tot - quad, 0.0)
+
+
+class MICEFastGP(GaussianProcess):
+    """GP with Woodbury-corrected leave-one-out variance predictions
+    (``SequentialDesign.py:694-748``)."""
+
+    def _loo_inputs(self):
+        assert self._artifacts is not None, "MICEFastGP must be fit first"
+        dtype = self._data.inputs.dtype
+        cov = self._theta.cov
+        nugget = self.nugget if self.nugget is not None else 0.0
+        C = cov * self.kernel.kernel_f(
+            self._data.inputs, self._data.inputs, jnp.asarray(self._theta.corr_raw, dtype=dtype)
+        )
+        invQ = self._artifacts.Kinv.solve(jnp.eye(self.n, dtype=dtype))
+        return C, invQ, cov + nugget, cov
+
+    def fast_predict_all(self):
+        """Vectorized ``fast_predict`` over every index (one matmul)."""
+        C, invQ, s2_tot, cov = self._loo_inputs()
+        return np.asarray(_loo_variances_all(C, invQ, s2_tot, cov))
+
+    def fast_predict(self, index):
+        """Corrected variance for a single excluded index
+        (``SequentialDesign.py:705-748``)."""
+        index = int(index)
+        assert 0 <= index < self.n, "index must be 0 <= index < n"
+        return float(self.fast_predict_all()[index])
+
+
+class MICEDesign(SequentialDesign):
+    """Mutual Information for Computer Experiments sequential design
+    (``SequentialDesign.py:750-964``)."""
+
+    def __init__(self, base_design, f=None, n_samples=None, n_init=10,
+                 n_cand=50, nugget="adaptive", nugget_s=1.0):
+        if not isinstance(nugget, str):
+            try:
+                float(nugget)
+            except TypeError:
+                raise TypeError("nugget must be a string or convertible to a float")
+            if nugget < 0.0:
+                raise ValueError("nugget parameter cannot be negative")
+        if nugget_s < 0.0:
+            raise ValueError("nugget smoothing parameter cannot be negative")
+
+        self.nugget = nugget if isinstance(nugget, str) else float(nugget)
+        self.nugget_s = float(nugget_s)
+        super().__init__(base_design, f, n_samples, n_init, n_cand)
+
+    def get_nugget(self):
+        return self.nugget
+
+    def get_nugget_s(self):
+        return self.nugget_s
+
+    def _estimate_next_target(self, next_point):
+        next_point = np.array(next_point)
+        assert next_point.shape == (self.get_n_parameters(),), (
+            "bad shape for next_point"
+        )
+        return self.gp.predict(next_point)[0]
+
+    def _MICE_criterion(self, data_point):
+        """MICE criterion for one candidate (``SequentialDesign.py:886-931``)."""
+        data_point = int(data_point)
+        assert 0 <= data_point < self.n_cand, "test point index is out of range"
+        _, unc1, _ = self.gp.predict(self.candidates[data_point], unc=True)
+        unc2 = self.gp_fast.fast_predict(data_point)
+        mice_criter = unc1 / unc2
+        assert np.isfinite(mice_criter), "error in computing MICE criteria"
+        return float(mice_criter)
+
+    def _eval_metric(self):
+        """Fit base + candidate GPs, score all candidates at once
+        (``SequentialDesign.py:933-964``)."""
+        numtries = 10
+        for i in range(numtries):
+            try:
+                self.gp = GaussianProcess(
+                    self.inputs, self.targets, nugget=self.nugget
+                )
+                self.gp = fit_GP_MAP(self.gp)
+
+                base_nugget = self.gp.theta.nugget
+                if base_nugget is None:
+                    base_nugget = 0.0
+                self.gp_fast = MICEFastGP(
+                    self.candidates,
+                    np.ones(self.n_cand),
+                    nugget=float(base_nugget * self.nugget_s),
+                )
+                # transfer corr/cov raw parameters from the base GP fit
+                self.gp_fast.fit(
+                    np.asarray(self.gp.theta.get_data())[: self.gp_fast.n_params]
+                )
+                break
+            except (RuntimeError, FloatingPointError, np.linalg.LinAlgError):
+                if i == numtries - 1:
+                    raise RuntimeError(
+                        "Unable to find parameters suitable for both GPs"
+                    )
+
+        unc1 = self.gp.predict(self.candidates, unc=True)[1]
+        unc2 = self.gp_fast.fast_predict_all()
+        results = unc1 / unc2
+        assert np.all(np.isfinite(results)), "error in computing MICE criteria"
+        return int(np.argmax(results))
