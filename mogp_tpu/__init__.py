@@ -27,6 +27,7 @@ from .models.priors import (
 )
 from .models.fitting import fit_GP_MAP
 from .models.mogp import MultiOutputGP
+from .models.meanfunction import MeanFunction
 from .uq.experimental_design import (
     ExperimentalDesign,
     LatinHypercubeDesign,
@@ -61,4 +62,5 @@ __all__ = [
     "WeakPrior",
     "fit_GP_MAP",
     "MultiOutputGP",
+    "MeanFunction",
 ]
