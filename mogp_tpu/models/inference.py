@@ -1,0 +1,322 @@
+"""Full Bayesian inference over GP hyperparameters: NUTS, VI, diagnostics.
+
+The reference stops at MAP point estimates (``fitting.py:16``); this
+module samples the posterior defined by the same negative log posterior
+(``gp_nlp``: marginal likelihood + priors, ``GaussianProcess.py:655-685``
+math) with:
+
+* ``sample_GP_MCMC``   -- NUTS chains vmapped (and mesh-shardable) over a
+  chains axis; returns samples in raw parameter space plus R-hat / ESS
+  diagnostics computed cross-chain.
+* ``fit_GP_VI``        -- mean-field ADVI: diagonal-Gaussian variational
+  posterior over raw parameters, reparameterized ELBO maximized with
+  the on-device L-BFGS-free optax Adam loop.
+* ``predict_MCMC``     -- posterior-predictive moments: per-sample GP
+  fit + predict vmapped over (thinned) posterior samples, then
+  mixture-moment combination.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.hmc import sample_nuts
+from .gp import GaussianProcess, gp_fit, gp_nlp, gp_predict
+
+__all__ = [
+    "sample_GP_MCMC",
+    "fit_GP_VI",
+    "predict_MCMC",
+    "potential_scale_reduction",
+    "effective_sample_size",
+    "MCMCResult",
+    "VIResult",
+]
+
+
+class MCMCResult(NamedTuple):
+    samples: np.ndarray        # (n_chains, n_samples, P) raw parameters
+    accept_prob: np.ndarray    # (n_chains, n_samples)
+    diverging: np.ndarray      # (n_chains, n_samples)
+    rhat: np.ndarray           # (P,)
+    ess: np.ndarray            # (P,)
+
+
+class VIResult(NamedTuple):
+    mean: np.ndarray           # (P,) variational mean (raw space)
+    log_std: np.ndarray        # (P,)
+    elbo_trace: np.ndarray     # (n_steps,)
+
+
+# ---------------------------------------------------------------------------
+# Convergence diagnostics (cross-chain; on device)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def potential_scale_reduction(samples):
+    """Split R-hat (Gelman-Rubin) per parameter.
+
+    :param samples: ``(n_chains, n_samples, P)``.
+    :returns: ``(P,)`` split-R-hat values.
+    """
+    C, N, P = samples.shape
+    half = N // 2
+    split = jnp.concatenate(
+        [samples[:, :half, :], samples[:, half : 2 * half, :]], axis=0
+    )  # (2C, half, P)
+    m = split.shape[0]
+    chain_means = jnp.mean(split, axis=1)          # (m, P)
+    chain_vars = jnp.var(split, axis=1, ddof=1)    # (m, P)
+    W = jnp.mean(chain_vars, axis=0)
+    B = half * jnp.var(chain_means, axis=0, ddof=1)
+    var_plus = (half - 1) / half * W + B / half
+    return jnp.sqrt(var_plus / W)
+
+
+@jax.jit
+def effective_sample_size(samples):
+    """Bulk effective sample size per parameter via FFT autocorrelation
+    with Geyer's initial-positive-sequence truncation.
+
+    :param samples: ``(n_chains, n_samples, P)``.
+    :returns: ``(P,)`` ESS estimates.
+    """
+    C, N, P = samples.shape
+    x = samples - jnp.mean(samples, axis=1, keepdims=True)
+
+    # autocovariance per chain/param via FFT
+    nfft = 2 * N
+    f = jnp.fft.rfft(x, n=nfft, axis=1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :N, :].real
+    acov = acov / N
+
+    chain_var = acov[:, 0, :]  # biased variance per chain
+    mean_var = jnp.mean(chain_var, axis=0) * N / (N - 1.0)
+    var_plus = mean_var * (N - 1.0) / N + jnp.var(
+        jnp.mean(samples, axis=1), axis=0, ddof=1 if C > 1 else 0
+    )
+
+    rho = 1.0 - (mean_var - jnp.mean(acov, axis=0)) / var_plus  # (N, P)
+
+    # Geyer: sum consecutive pairs while positive
+    even = rho[0::2, :]
+    odd = jnp.zeros_like(even).at[: rho[1::2].shape[0]].set(rho[1::2, :])
+    pair = even + odd  # (N//2(+1), P)
+    # monotone positive sequence: running-min then clip at first negative
+    pair = jnp.minimum.accumulate(pair, axis=0)
+    positive = pair > 0.0
+    first_neg = jnp.argmin(positive, axis=0)
+    has_neg = jnp.any(~positive, axis=0)
+    cutoff = jnp.where(has_neg, first_neg, pair.shape[0])
+    idx = jnp.arange(pair.shape[0])[:, None]
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(idx < cutoff, pair, 0.0), axis=0)
+    tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(N))))
+    return C * N / tau
+
+
+# ---------------------------------------------------------------------------
+# NUTS over GP hyperparameters
+# ---------------------------------------------------------------------------
+
+def sample_GP_MCMC(
+    gp: GaussianProcess,
+    n_samples=500,
+    n_warmup=500,
+    n_chains=4,
+    seed=0,
+    max_depth=8,
+    target_accept=0.8,
+    theta0=None,
+    mesh=None,
+):
+    """Sample the GP hyperparameter posterior with NUTS.
+
+    Chains are a vmapped batch axis; with ``mesh`` provided, the chain
+    axis is sharded over devices (GSPMD partitions the identical chain
+    programs; no collectives are needed until diagnostics, which run as
+    reductions over the gathered samples).
+
+    :returns: ``MCMCResult`` with raw-space samples and diagnostics.
+    """
+    dtype = gp._data.inputs.dtype
+    data = gp._data
+    kernel = gp.kernel
+    nugget_type = gp.nugget_type
+
+    def potential(raw):
+        return gp_nlp(raw, data, kernel, nugget_type)
+
+    key = jax.random.PRNGKey(seed)
+    key_init, key_run = jax.random.split(key)
+
+    if theta0 is not None:
+        q0 = jnp.broadcast_to(
+            jnp.asarray(theta0, dtype=dtype), (n_chains, gp.n_params)
+        )
+    else:
+        # initialize chains from the priors (like optimizer restarts,
+        # fitting.py:242)
+        keys = jax.random.split(key_init, n_chains)
+        q0 = jax.vmap(gp.priors.sample_raw)(keys).astype(dtype)
+
+    chain_keys = jax.random.split(key_run, n_chains)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = NamedSharding(mesh, P(mesh.axis_names[0]))
+        q0 = jax.device_put(q0, NamedSharding(mesh, P(mesh.axis_names[0], None)))
+        chain_keys = jax.device_put(chain_keys, NamedSharding(
+            mesh, P(mesh.axis_names[0], None)))
+
+    run = jax.vmap(
+        lambda q, k: sample_nuts(
+            potential,
+            q,
+            k,
+            n_warmup=n_warmup,
+            n_samples=n_samples,
+            max_depth=max_depth,
+            target_accept=target_accept,
+        )
+    )
+    samples, infos = run(q0, chain_keys)
+
+    rhat = potential_scale_reduction(samples)
+    ess = effective_sample_size(samples)
+
+    return MCMCResult(
+        samples=np.asarray(samples),
+        accept_prob=np.asarray(infos.accept_prob),
+        diverging=np.asarray(infos.diverging),
+        rhat=np.asarray(rhat),
+        ess=np.asarray(ess),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mean-field VI (ADVI)
+# ---------------------------------------------------------------------------
+
+def fit_GP_VI(
+    gp: GaussianProcess,
+    n_steps=1000,
+    n_mc=8,
+    learning_rate=0.05,
+    seed=0,
+    theta0=None,
+):
+    """Mean-field ADVI over the raw hyperparameters.
+
+    Maximizes the reparameterized ELBO ``E_q[-nlp(raw)] + H(q)`` for a
+    diagonal Gaussian ``q`` with Adam; fully jitted, one program.
+    """
+    import optax
+
+    dtype = gp._data.inputs.dtype
+    data = gp._data
+    kernel = gp.kernel
+    nugget_type = gp.nugget_type
+    P = gp.n_params
+
+    if theta0 is None:
+        theta0 = np.zeros(P)
+    mu0 = jnp.asarray(theta0, dtype=dtype)
+    log_std0 = jnp.full((P,), -2.0, dtype=dtype)
+
+    optimizer = optax.adam(learning_rate)
+
+    def neg_elbo(params, key):
+        mu, log_std = params
+        eps = jax.random.normal(key, (n_mc, P), dtype=dtype)
+        zs = mu + jnp.exp(log_std) * eps
+        nlps = jax.vmap(
+            lambda z: gp_nlp(z, data, kernel, nugget_type)
+        )(zs)
+        # replace non-finite draws with a large penalty (failed Cholesky)
+        nlps = jnp.where(jnp.isfinite(nlps), nlps, 1e10)
+        entropy = jnp.sum(log_std) + 0.5 * P * (1.0 + jnp.log(2.0 * jnp.pi))
+        return jnp.mean(nlps) - entropy
+
+    @jax.jit
+    def run(mu0, log_std0, key):
+        params = (mu0, log_std0)
+        opt_state = optimizer.init(params)
+
+        def step(carry, _):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            loss, grads = jax.value_and_grad(neg_elbo)(params, sub)
+            updates, opt_state = optimizer.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), -loss
+
+        (params, _, _), elbo_trace = jax.lax.scan(
+            step, (params, opt_state, jax.random.PRNGKey(0) if key is None else key),
+            None, length=n_steps,
+        )
+        return params, elbo_trace
+
+    (mu, log_std), elbo_trace = run(mu0, log_std0, jax.random.PRNGKey(seed))
+    return VIResult(
+        mean=np.asarray(mu),
+        log_std=np.asarray(log_std),
+        elbo_trace=np.asarray(elbo_trace),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Posterior-predictive
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("kernel", "nugget_type", "include_nugget"))
+def _predict_samples(raws, data, testing, dmtest, kernel, nugget_type,
+                     include_nugget=True):
+    def one(raw):
+        arts = gp_fit(raw, data, kernel, nugget_type)
+        mu, var = gp_predict(
+            arts, data, testing, dmtest, kernel, nugget_type,
+            unc=True, include_nugget=include_nugget, full_cov=False,
+        )
+        return mu, var
+
+    return jax.vmap(one)(raws)
+
+
+def predict_MCMC(gp, samples, testing, thin=1, include_nugget=True):
+    """Posterior-predictive mean/variance marginalized over hyperparameter
+    samples (mixture moments over per-sample GP predictions).
+
+    :param samples: ``(n_chains, n_samples, P)`` or ``(n_samples, P)``
+                    raw-space samples (e.g. from ``sample_GP_MCMC``).
+    :returns: ``(mean, variance)`` numpy arrays of length ``n_predict``.
+    """
+    samples = np.asarray(samples)
+    if samples.ndim == 3:
+        samples = samples.reshape(-1, samples.shape[-1])
+    samples = samples[::thin]
+
+    testing = gp._process_inputs(testing)
+    dmtest = gp.get_design_matrix(testing)
+    dtype = gp._data.inputs.dtype
+
+    mus, variances = _predict_samples(
+        jnp.asarray(samples, dtype=dtype),
+        gp._data,
+        jnp.asarray(testing, dtype=dtype),
+        jnp.asarray(dmtest, dtype=dtype),
+        gp.kernel,
+        gp.nugget_type,
+        include_nugget=include_nugget,
+    )
+    mus = np.asarray(mus)
+    variances = np.asarray(variances)
+    finite = np.isfinite(mus).all(axis=1) & np.isfinite(variances).all(axis=1)
+    mus, variances = mus[finite], variances[finite]
+    mean = mus.mean(axis=0)
+    var = variances.mean(axis=0) + mus.var(axis=0)
+    return mean, var

@@ -1,0 +1,108 @@
+"""NUTS / VI / diagnostics tests.
+
+Statistical oracles: a correlated Gaussian with known moments for the
+sampler, and agreement between MAP / NUTS posterior mean / VI mean on a
+well-identified GP posterior.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from numpy.testing import assert_allclose
+
+from mogp_tpu.models.fitting import fit_GP_MAP
+from mogp_tpu.models.gp import GaussianProcess
+from mogp_tpu.models.inference import (
+    effective_sample_size,
+    fit_GP_VI,
+    potential_scale_reduction,
+    predict_MCMC,
+    sample_GP_MCMC,
+)
+from mogp_tpu.ops.hmc import sample_nuts
+
+
+def test_nuts_gaussian_moments():
+    cov = jnp.array([[2.0, 1.2], [1.2, 1.5]])
+    prec = jnp.linalg.inv(cov)
+
+    def potential(q):
+        return 0.5 * q @ prec @ q
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    q0 = jax.random.normal(jax.random.PRNGKey(1), (4, 2))
+    samples, infos = jax.vmap(
+        lambda q, k: sample_nuts(potential, q, k, n_warmup=400, n_samples=600)
+    )(q0, keys)
+
+    s = np.asarray(samples).reshape(-1, 2)
+    assert_allclose(s.mean(axis=0), np.zeros(2), atol=0.15)
+    assert_allclose(np.cov(s.T), np.asarray(cov), atol=0.3)
+    assert float(np.asarray(infos.accept_prob).mean()) > 0.6
+    assert int(np.asarray(infos.diverging).sum()) == 0
+
+    rhat = np.asarray(potential_scale_reduction(samples))
+    assert np.all(rhat < 1.05)
+    ess = np.asarray(effective_sample_size(samples))
+    assert np.all(ess > 100)
+
+
+def test_ess_iid_close_to_n():
+    """ESS of iid draws should be close to the total sample count."""
+    rng = jax.random.PRNGKey(2)
+    samples = jax.random.normal(rng, (4, 500, 2))
+    ess = np.asarray(effective_sample_size(samples))
+    assert np.all(ess > 1000)  # 2000 total, allow wide tolerance
+
+
+def test_rhat_detects_nonconvergence():
+    rng = np.random.RandomState(0)
+    chains = rng.randn(4, 200, 1)
+    chains[0] += 10.0  # one chain stuck elsewhere
+    rhat = np.asarray(potential_scale_reduction(jnp.asarray(chains)))
+    assert rhat[0] > 1.5
+
+
+@pytest.fixture(scope="module")
+def fit_gp():
+    np.random.seed(3)
+    x = np.random.rand(25, 2) * 2
+    y = np.sin(3 * x[:, 0]) * np.cos(2 * x[:, 1]) + 0.05 * np.random.randn(25)
+    gp = GaussianProcess(x, y, nugget="fit")
+    return fit_GP_MAP(gp, n_tries=4)
+
+
+def test_gp_mcmc_agrees_with_map(fit_gp):
+    res = sample_GP_MCMC(
+        fit_gp, n_samples=200, n_warmup=200, n_chains=2, seed=0,
+        theta0=fit_gp.theta.get_data(),
+    )
+    assert res.samples.shape == (2, 200, fit_gp.n_params)
+    assert np.all(res.rhat < 1.2)
+    post_mean = res.samples.reshape(-1, fit_gp.n_params).mean(axis=0)
+    # posterior mean should be in the vicinity of the MAP
+    assert np.all(np.abs(post_mean - fit_gp.theta.get_data()) < 2.0)
+
+
+def test_predict_mcmc(fit_gp):
+    res = sample_GP_MCMC(
+        fit_gp, n_samples=100, n_warmup=200, n_chains=2, seed=1,
+        theta0=fit_gp.theta.get_data(),
+    )
+    xt = np.random.RandomState(5).rand(6, 2) * 2
+    yt = np.sin(3 * xt[:, 0]) * np.cos(2 * xt[:, 1])
+    mu, var = predict_MCMC(fit_gp, res.samples, xt, thin=5)
+    assert mu.shape == (6,)
+    assert np.all(var > 0)
+    # posterior predictive should be roughly calibrated
+    z = np.abs(mu - yt) / np.sqrt(var)
+    assert np.all(z < 5.0)
+
+
+def test_gp_vi(fit_gp):
+    vi = fit_GP_VI(fit_gp, n_steps=300, theta0=fit_gp.theta.get_data())
+    assert vi.mean.shape == (fit_gp.n_params,)
+    assert vi.elbo_trace[-1] > vi.elbo_trace[0]
+    # VI mean should also be near the MAP for this well-identified posterior
+    assert np.all(np.abs(vi.mean - fit_gp.theta.get_data()) < 2.0)
