@@ -90,6 +90,14 @@ def _gather_starts(gp, n_tries, theta0):
     return np.stack(starts)
 
 
+import os
+
+# Upper bound on concurrent (output x restart) L-BFGS lanes per compiled
+# program.  Bounds compile time and device memory for very large
+# MultiOutputGP fits; larger groups are processed in equal-size chunks.
+_MAX_LANES = int(os.environ.get("MOGP_TPU_MAX_FIT_LANES", "256"))
+
+
 def _extract_opt_options(kwargs):
     maxiter = int(kwargs.pop("maxiter", 200))
     gtol = float(kwargs.pop("gtol", 1e-5))
@@ -190,19 +198,34 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
         starts = np.stack(
             [_gather_starts(em, n_tries, theta0[i]) for em, i in zip(ems, global_idx)]
         )  # (G, n_tries, P)
-        data = _stack_pytrees([em._data for em in ems])
 
-        res = _batched_fit_multi(
-            jnp.asarray(starts, dtype=dtype),
-            data,
-            em0.kernel,
-            em0.nugget_type,
-            maxiter,
-            gtol,
-            ftol,
-        )
-        fun = np.asarray(res.fun, dtype=np.float64)  # (G, n_tries)
-        xs = np.asarray(res.x, dtype=np.float64)
+        # chunk the outputs axis so one compiled program never exceeds
+        # _MAX_LANES concurrent minimizations (equal chunk sizes reuse the
+        # same compiled program across chunks)
+        G = len(ems)
+        outputs_per_chunk = max(1, _MAX_LANES // max(n_tries, 1))
+        n_chunks = -(-G // outputs_per_chunk)
+        chunk = -(-G // n_chunks)  # equalized chunk size
+
+        fun = np.empty((G, n_tries), dtype=np.float64)
+        xs = np.empty((G, n_tries, starts.shape[-1]), dtype=np.float64)
+        for c0 in range(0, G, chunk):
+            sel = slice(c0, min(c0 + chunk, G))
+            pad = chunk - (sel.stop - sel.start)
+            idx_sel = list(range(sel.start, sel.stop)) + [sel.stop - 1] * pad
+            data_c = _stack_pytrees([ems[i]._data for i in idx_sel])
+            starts_c = starts[idx_sel]
+            res = _batched_fit_multi(
+                jnp.asarray(starts_c, dtype=dtype),
+                data_c,
+                em0.kernel,
+                em0.nugget_type,
+                maxiter,
+                gtol,
+                ftol,
+            )
+            fun[sel] = np.asarray(res.fun, dtype=np.float64)[: sel.stop - sel.start]
+            xs[sel] = np.asarray(res.x, dtype=np.float64)[: sel.stop - sel.start]
 
         for row, em in enumerate(ems):
             finite = np.isfinite(fun[row])

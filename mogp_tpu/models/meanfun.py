@@ -179,3 +179,59 @@ def n_mean_params(mean, D):
     probe = np.zeros((2, D))
     probe[1] = 1.0
     return design_matrix(mean, probe).shape[1]
+
+
+def design_matrix_fn(mean):
+    """Return a *jittable* function ``x -> dm`` for a mean specification.
+
+    Same semantics as ``design_matrix`` but the returned callable
+    evaluates term expressions with jnp on traced arrays, so it can be
+    used inside jitted sweeps (SMC, sharded HistoryMatching) where the
+    query points are traced.
+    """
+    import jax.numpy as jnp
+
+    if mean is None or mean == "0" or mean == "-1":
+        return lambda x: jnp.zeros((x.shape[0], 0), dtype=x.dtype)
+    if mean == "1" or mean == "-0":
+        return lambda x: jnp.ones((x.shape[0], 1), dtype=x.dtype)
+    if callable(mean):
+        return mean
+    if not isinstance(mean, str):
+        raise ValueError(
+            "jittable design matrices require a formula string, callable, or None"
+        )
+
+    intercept, terms = parse_formula(mean)
+
+    def fn(x):
+        n = x.shape[0]
+        x_data = x.T
+        namespace = {
+            "x": x_data,
+            "I": lambda v: v,
+            "np": jnp,
+            "log": jnp.log,
+            "exp": jnp.exp,
+            "sqrt": jnp.sqrt,
+            "sin": jnp.sin,
+            "cos": jnp.cos,
+            "abs": jnp.abs,
+            "__builtins__": {},
+        }
+        cols = []
+        if intercept:
+            cols.append(jnp.ones(n, dtype=x.dtype))
+        for term in terms:
+            col = None
+            for _, factor in _split_top_level(term, ":"):
+                val = jnp.broadcast_to(
+                    jnp.asarray(eval(factor, dict(namespace))), (n,)
+                ).astype(x.dtype)
+                col = val if col is None else col * val
+            cols.append(col)
+        if not cols:
+            return jnp.zeros((n, 0), dtype=x.dtype)
+        return jnp.stack(cols, axis=1)
+
+    return fn

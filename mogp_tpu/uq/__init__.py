@@ -10,6 +10,7 @@ from .experimental_design import (
 )
 from .history_matching import HistoryMatching
 from .sequential_design import MICEDesign, MICEFastGP, SequentialDesign
+from .smc import SMCResult, smc_history_match, systematic_resample
 from .validation import (
     Errors,
     PivotErrors,
@@ -34,6 +35,9 @@ __all__ = [
     "MICEDesign",
     "MICEFastGP",
     "SequentialDesign",
+    "SMCResult",
+    "smc_history_match",
+    "systematic_resample",
     "Errors",
     "PivotErrors",
     "StandardErrors",

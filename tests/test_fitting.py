@@ -1,0 +1,108 @@
+"""Fitting-driver tests (vs reference semantics, ``fitting.py``)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import mogp_tpu.models.fitting as fitting_mod
+from mogp_tpu import GaussianProcess, MultiOutputGP, fit_GP_MAP
+
+rng = np.random.RandomState(7)
+X = rng.rand(25, 2) * 2
+Y = np.sin(3 * X[:, 0]) + X[:, 1] ** 2
+
+
+def test_fit_improves_over_start():
+    gp = GaussianProcess(X, Y)
+    theta0 = np.zeros(gp.n_params)
+    gp.fit(theta0)
+    start_logpost = gp.current_logpost
+    gp = fit_GP_MAP(gp, n_tries=3, theta0=theta0)
+    assert gp.current_logpost < start_logpost
+
+
+def test_theta0_shape_check():
+    gp = GaussianProcess(X, Y)
+    with pytest.raises(AssertionError):
+        fit_GP_MAP(gp, n_tries=1, theta0=np.zeros(99))
+
+
+def test_constructor_args_single_and_multi():
+    gp = fit_GP_MAP(X, Y, n_tries=2)
+    assert isinstance(gp, GaussianProcess)
+    mgp = fit_GP_MAP(X, np.stack([Y, -Y]), n_tries=2)
+    assert isinstance(mgp, MultiOutputGP)
+    assert mgp.get_indices_not_fit() == []
+
+
+def test_bad_args():
+    with pytest.raises(TypeError):
+        fit_GP_MAP(1.5)
+    with pytest.raises(TypeError):
+        fit_GP_MAP()
+
+
+def test_refit_semantics():
+    mgp = MultiOutputGP(X, np.stack([Y, 2 * Y]))
+    mgp = fit_GP_MAP(mgp, n_tries=2)
+    thetas = [em.theta.get_data().copy() for em in mgp.emulators]
+    # without refit, already-fit emulators stay untouched
+    mgp = fit_GP_MAP(mgp, n_tries=2)
+    for em, t in zip(mgp.emulators, thetas):
+        assert_allclose(em.theta.get_data(), t)
+
+
+def test_chunked_fit_matches_unchunked(monkeypatch):
+    """Forcing tiny chunks must not change which parameters are found."""
+    ys = np.stack([Y + 0.1 * k for k in range(5)])
+    np.random.seed(0)
+    mgp1 = fit_GP_MAP(MultiOutputGP(X, ys), n_tries=2)
+    t1 = [em.theta.get_data().copy() for em in mgp1.emulators]
+
+    monkeypatch.setattr(fitting_mod, "_MAX_LANES", 2)
+    np.random.seed(0)
+    mgp2 = fit_GP_MAP(MultiOutputGP(X, ys), n_tries=2)
+    t2 = [em.theta.get_data().copy() for em in mgp2.emulators]
+    for a, b in zip(t1, t2):
+        assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_heterogeneous_mogp_grouping():
+    """Different kernels per output still fit (separate signature groups)."""
+    mgp = MultiOutputGP(
+        X, np.stack([Y, -Y]), kernel=["SquaredExponential", "Matern52"]
+    )
+    mgp = fit_GP_MAP(mgp, n_tries=2)
+    assert mgp.get_indices_not_fit() == []
+    res = mgp.predict(X[:4])
+    assert res.mean.shape == (2, 4)
+
+
+def test_total_failure_raises():
+    """A GP whose posterior is always NaN must raise RuntimeError
+    (fitting.py:175-186 semantics)."""
+    bad_targets = np.full(25, np.nan)
+    gp = GaussianProcess(X, bad_targets)
+    with pytest.raises(RuntimeError):
+        fit_GP_MAP(gp, n_tries=2)
+
+
+def test_mogp_failure_skipping(capsys):
+    ys = np.stack([Y, np.full(25, np.nan)])
+    mgp = fit_GP_MAP(MultiOutputGP(X, ys), n_tries=2, skip_failures=True)
+    assert mgp.get_indices_not_fit() == [1]
+    assert "Fitting failed for emulators" in capsys.readouterr().out
+    with pytest.raises(RuntimeError):
+        fit_GP_MAP(
+            MultiOutputGP(X, ys), n_tries=2, skip_failures=False, refit=True
+        )
+
+
+def test_allow_not_fit_nan_predictions():
+    ys = np.stack([Y, np.full(25, np.nan)])
+    mgp = fit_GP_MAP(MultiOutputGP(X, ys), n_tries=2)
+    res = mgp.predict(X[:3], allow_not_fit=True)
+    assert np.all(np.isfinite(res.mean[0]))
+    assert np.all(np.isnan(res.mean[1]))
+    with pytest.raises(ValueError):
+        mgp.predict(X[:3])

@@ -299,3 +299,41 @@ def test_batch_points():
     assert batch.shape == (2, 2)
     md.set_batch_targets(np.array([f(b) for b in batch]))
     assert md.get_current_iteration() == 7
+
+
+# -- SMC history matching ----------------------------------------------------
+
+def test_smc_history_match_concentrates_on_nroy():
+    """Paraboloid target with obs=1: NROY is the ring r~1; SMC particles
+    must concentrate there."""
+    from mogp_tpu.uq.smc import smc_history_match
+
+    np.random.seed(11)
+    x = np.random.rand(40, 2) * 4 - 2
+    y = x[:, 0] ** 2 + x[:, 1] ** 2
+    gp = fit_GP_MAP(GaussianProcess(x, y, nugget=1e-6), n_tries=3)
+
+    res = smc_history_match(
+        gp, obs=[1.0, 0.01], bounds=[[-2, 2], [-2, 2]],
+        n_particles=1024, n_stages=6, n_mcmc=3, seed=0,
+    )
+    r = np.sqrt(np.sum(res.particles**2, axis=1))
+    assert res.nroy_fraction > 0.95
+    assert abs(r.mean() - 1.0) < 0.1
+    assert r.std() < 0.2
+    # thresholds anneal down to the target
+    assert res.thresholds[-1] == pytest.approx(3.0)
+
+
+def test_systematic_resample():
+    import jax
+    import jax.numpy as jnp
+    from mogp_tpu.uq.smc import systematic_resample
+
+    w = np.array([0.0, 0.5, 0.5, 0.0])
+    idx = np.asarray(
+        systematic_resample(jax.random.PRNGKey(0), jnp.asarray(w), 100)
+    )
+    assert set(idx.tolist()) <= {1, 2}
+    counts = np.bincount(idx, minlength=4)
+    assert abs(counts[1] - 50) <= 1
