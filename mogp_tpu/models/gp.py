@@ -148,8 +148,8 @@ def _prior_logp(data: GPData, raw, n_corr, nugget_type):
     )
 
 
-@partial(jax.jit, static_argnames=("kernel", "nugget_type"))
-def gp_fit(raw, data: GPData, kernel, nugget_type):
+@partial(jax.jit, static_argnames=("kernel", "nugget_type", "reuse_factor"))
+def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True):
     """Compute all fit-time artifacts for raw hyperparameters ``raw``.
 
     Implements ``GaussianProcess.fit`` (``GaussianProcess.py:629-685``):
@@ -169,7 +169,7 @@ def gp_fit(raw, data: GPData, kernel, nugget_type):
 
     m = jnp.dot(data.dm, data.mean_mean)
     K = sigma2 * kernel.kernel_f(data.inputs, data.inputs, corr_raw)
-    Kinv, nugget = cholesky_factor(K, nugget, nugget_type)
+    Kinv, nugget = cholesky_factor(K, nugget, nugget_type, reuse_factor=reuse_factor)
 
     # A = H^T K^-1 H + B^-1  (linalg_utils.py:5-40)
     from ..ops.cholesky import ChoFactor, fixed_cholesky
@@ -204,10 +204,10 @@ def gp_fit(raw, data: GPData, kernel, nugget_type):
     )
 
 
-def gp_nlp(raw, data: GPData, kernel, nugget_type):
+def gp_nlp(raw, data: GPData, kernel, nugget_type, reuse_factor=True):
     """Negative log posterior (the MAP objective).  ``jax.grad`` of this
     replaces ``logpost_deriv`` (``GaussianProcess.py:711-782``)."""
-    return gp_fit(raw, data, kernel, nugget_type).logpost
+    return gp_fit(raw, data, kernel, nugget_type, reuse_factor).logpost
 
 
 @partial(
@@ -651,4 +651,6 @@ def _gp_nlp_grad(raw, data, kernel, nugget_type):
 
 @partial(jax.jit, static_argnames=("kernel", "nugget_type"))
 def _gp_nlp_hessian(raw, data, kernel, nugget_type):
-    return jax.hessian(gp_nlp)(raw, data, kernel, nugget_type)
+    # the factor-reuse custom_vjp supports only first-order diff; the
+    # Hessian path re-factorizes differentiably (reuse_factor=False)
+    return jax.hessian(gp_nlp)(raw, data, kernel, nugget_type, False)

@@ -154,8 +154,10 @@ def sample_GP_MCMC(
     key_init, key_run = jax.random.split(key)
 
     if theta0 is not None:
-        q0 = jnp.broadcast_to(
-            jnp.asarray(theta0, dtype=dtype), (n_chains, gp.n_params)
+        # jitter chain initializations around theta0 (identical inits make
+        # R-hat meaningless when mixing is slow; standard Stan practice)
+        q0 = jnp.asarray(theta0, dtype=dtype) + 0.5 * jax.random.normal(
+            key_init, (n_chains, gp.n_params), dtype=dtype
         )
     else:
         # initialize chains from the priors (like optimizer restarts,

@@ -114,7 +114,7 @@ def fixed_cholesky(A):
     return _chol(A)
 
 
-def jit_cholesky(A, maxtries=5):
+def jit_cholesky(A, maxtries=5, reuse_factor=True):
     """Jittered Cholesky decomposition (``cholesky.py:234-281``).
 
     Tries an exact factorization and, on failure, diagonal jitter of
@@ -152,8 +152,46 @@ def jit_cholesky(A, maxtries=5):
     jitter = jnp.where(
         jnp.any(ok), jitters[idx], jnp.full((), jnp.nan, dtype=A.dtype)
     )
-    L = _chol(A + jitter * eye)
+    # Reuse the selected candidate factor as the primal result instead of
+    # re-factorizing A + jitter*I; _chol_of_sum carries a custom VJP that
+    # differentiates as if chol were applied to the (traced) sum, so
+    # first-order gradients are exact while the forward pass costs zero
+    # extra factorizations.  The custom VJP does not support higher-order
+    # differentiation; callers needing Hessians pass
+    # ``reuse_factor=False`` to re-factorize differentiably instead.
+    if reuse_factor:
+        L_sel = jnp.where(jnp.any(ok), Ls[idx], jnp.full_like(Ls[0], jnp.nan))
+        L = _chol_of_sum(A + jitter * eye, L_sel)
+    else:
+        L = _chol(A + jitter * eye)
     return ChoFactor(L), jitter
+
+
+@jax.custom_vjp
+def _chol_of_sum(M, L_precomputed):
+    """Return a precomputed Cholesky factor of ``M``, differentiable in
+    ``M`` via the standard Cholesky pullback (so the forward pass can
+    reuse a factor already computed on a gradient-stopped copy)."""
+    return L_precomputed
+
+
+def _chol_of_sum_fwd(M, L_precomputed):
+    return L_precomputed, L_precomputed
+
+
+def _chol_of_sum_bwd(L, L_bar):
+    # Cholesky reverse rule: with S = Phi(L^T L_bar) (lower triangle,
+    # halved diagonal), M_bar = 0.5 * sym(L^-T S L^-1).
+    n = L.shape[0]
+    S = jnp.tril(L.T @ L_bar)
+    S = S - 0.5 * jnp.diag(jnp.diag(S))
+    W = solve_triangular(L.T, S, lower=False)
+    W = solve_triangular(L.T, W.T, lower=False).T
+    M_bar = 0.5 * (W + W.T)
+    return M_bar, jnp.zeros_like(L)
+
+
+_chol_of_sum.defvjp(_chol_of_sum_fwd, _chol_of_sum_bwd)
 
 
 def pivoted_cholesky(A):
@@ -232,7 +270,7 @@ def pivoted_cholesky(A):
     return PivotedChoFactor(L, perm, rank)
 
 
-def cholesky_factor(K, nugget, nugget_type):
+def cholesky_factor(K, nugget, nugget_type, reuse_factor=True):
     """Dispatch factorization on nugget handling (``cholesky.py:168-193``).
 
     :param K: covariance matrix (without nugget).
@@ -245,7 +283,7 @@ def cholesky_factor(K, nugget, nugget_type):
               nugget value.
     """
     if nugget_type == "adaptive":
-        factor, nugget = jit_cholesky(K)
+        factor, nugget = jit_cholesky(K, reuse_factor=reuse_factor)
     elif nugget_type == "pivot":
         factor = pivoted_cholesky(K)
     elif nugget_type in ("fit", "fixed"):

@@ -123,7 +123,7 @@ def lbfgs_minimize(
         converged=jnp.array(False),
     )
 
-    def linesearch(x, f, g, d):
+    def linesearch(x, f, g, d, t0):
         """Backtracking line search for Armijo + weak Wolfe conditions.
 
         Evaluates value-and-grad per trial so the accepted point's
@@ -157,7 +157,6 @@ def lbfgs_minimize(
             gt = jnp.where(ok, g_new, gt)
             return (t * 0.5, ls_it + 1, ok, xt, ft, gt)
 
-        t0 = jnp.ones((), dtype=dtype)
         carry = (t0, jnp.zeros((), jnp.int32), jnp.array(False), x, f, g)
         _, _, accepted, xt, ft, gt = lax.while_loop(cond, body, carry)
         return accepted, xt, ft, gt
@@ -171,7 +170,20 @@ def lbfgs_minimize(
         descent = jnp.dot(state.g, d) < 0
         d = jnp.where(descent, d, -state.g)
 
-        accepted, x_new, f_new, g_new = linesearch(state.x, state.f, state.g, d)
+        # with no curvature history the direction is the raw (unscaled)
+        # gradient, whose magnitude can be enormous for badly-scaled
+        # objectives; scale the first trial step to unit length
+        # (Nocedal & Wright's standard first-iteration step length)
+        d_norm = jnp.linalg.norm(d)
+        t0 = jnp.where(
+            state.n_hist == 0,
+            jnp.minimum(1.0, 1.0 / jnp.maximum(d_norm, 1e-30)),
+            jnp.ones((), dtype=dtype),
+        ).astype(dtype)
+
+        accepted, x_new, f_new, g_new = linesearch(
+            state.x, state.f, state.g, d, t0
+        )
 
         s = x_new - state.x
         y = g_new - state.g

@@ -36,10 +36,11 @@ def _kernel_body(base, z1_ref, sq1_ref, z2_ref, sq2_ref, out_ref):
     """One (TILE_M, TILE_N) tile: fused distance + kernel function."""
     z1 = z1_ref[:]          # (TILE_M, D)
     z2 = z2_ref[:]          # (TILE_N, D)
+    acc_dtype = jnp.float32 if z1.dtype != jnp.float64 else jnp.float64
     cross = jax.lax.dot_general(
         z1, z2,
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_dtype,
     )
     r2 = sq1_ref[:] + sq2_ref[:].T - 2.0 * cross
     r2 = jnp.maximum(r2, 0.0)
@@ -65,7 +66,6 @@ def pallas_kernel_matrix(z1, z2, base="sqexp", interpret=False):
     from jax.experimental import pallas as pl
 
     n, D = z1.shape
-    m = z2.shape[1 - 1], z2.shape[0]
     m = z2.shape[0]
     dtype = z1.dtype
 

@@ -1,0 +1,31 @@
+"""Pallas kernel parity tests (interpret mode on CPU; the same kernels
+compile natively on TPU)."""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax.numpy as jnp
+
+from mogp_tpu.ops.kernels import mat52, sqexp, squared_distance
+from mogp_tpu.ops.pallas_kernels import pallas_kernel_matrix
+
+rng = np.random.RandomState(0)
+
+
+@pytest.mark.parametrize("base,fn", [("sqexp", sqexp), ("mat52", mat52)])
+@pytest.mark.parametrize("shape", [(50, 37, 3), (130, 200, 14), (5, 5, 1)])
+def test_pallas_kernel_matrix_matches_reference(base, fn, shape):
+    n, m, D = shape
+    z1 = jnp.asarray(rng.rand(n, D))
+    z2 = jnp.asarray(rng.rand(m, D))
+    K = np.asarray(pallas_kernel_matrix(z1, z2, base=base, interpret=True))
+    Kref = np.asarray(fn(squared_distance(z1, z2, jnp.ones(D))))
+    assert K.shape == (n, m)
+    assert_allclose(K, Kref, rtol=2e-5, atol=2e-6)
+
+
+def test_pallas_kernel_diag_one():
+    z = jnp.asarray(rng.rand(20, 4))
+    K = np.asarray(pallas_kernel_matrix(z, z, base="mat52", interpret=True))
+    assert_allclose(np.diag(K), 1.0, atol=1e-6)
