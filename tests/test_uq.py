@@ -311,7 +311,7 @@ def test_smc_history_match_concentrates_on_nroy():
     np.random.seed(11)
     x = np.random.rand(40, 2) * 4 - 2
     y = x[:, 0] ** 2 + x[:, 1] ** 2
-    gp = fit_GP_MAP(GaussianProcess(x, y, nugget=1e-6), n_tries=3)
+    gp = fit_GP_MAP(GaussianProcess(x, y, nugget=1e-6), n_tries=10)
 
     res = smc_history_match(
         gp, obs=[1.0, 0.01], bounds=[[-2, 2], [-2, 2]],
