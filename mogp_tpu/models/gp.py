@@ -634,6 +634,42 @@ class GaussianProcess(GaussianProcessBase):
     def __call__(self, testing):
         return self.predict(testing, unc=False, deriv=False)[0]
 
+    # -- serialization ------------------------------------------------------
+
+    def __getstate__(self):
+        """Pickle by re-initialization (the reference GPU class's pattern,
+        ``GaussianProcessGPU.py:656-667``): device-resident artifacts are
+        dropped and rebuilt from the hyperparameters on unpickling."""
+        return {
+            "inputs": np.asarray(self._inputs),
+            "targets": np.asarray(self._targets),
+            "mean": self._mean,
+            "kernel": type(self.kernel).__name__,
+            "priors": self._priors,
+            "nugget": (
+                self._nugget_value
+                if self._nugget_type == "fixed"
+                else self._nugget_type
+            ),
+            "theta": (
+                None
+                if self._theta.get_data() is None
+                else np.asarray(self._theta.get_data())
+            ),
+        }
+
+    def __setstate__(self, state):
+        self.__init__(
+            state["inputs"],
+            state["targets"],
+            mean=state["mean"],
+            kernel=state["kernel"],
+            priors=state["priors"],
+            nugget=state["nugget"],
+        )
+        if state["theta"] is not None:
+            self.fit(state["theta"])
+
     def __str__(self):
         return (
             "Gaussian Process with "
