@@ -334,15 +334,31 @@ class GaussianProcess(GaussianProcessBase):
         nugget="adaptive",
         inputdict={},
         use_patsy=True,
+        standardize=False,
     ):
         inputs = self._process_inputs(inputs)
         targets = np.asarray(targets, dtype=np.float64)
         assert targets.ndim == 1
         assert targets.shape[0] == inputs.shape[0]
 
+        # optional target standardization (beyond the reference): the GP is
+        # fit on (y - mean)/std and predictions are mapped back, which
+        # keeps factorizations well-conditioned in float32 on TPU for
+        # badly-scaled simulators.  Hyperparameters and log posteriors
+        # then refer to the standardized targets.
+        self._standardize = bool(standardize)
+        if self._standardize:
+            self._t_mean = float(np.mean(targets))
+            self._t_std = float(np.std(targets)) or 1.0
+            targets_model = (targets - self._t_mean) / self._t_std
+        else:
+            self._t_mean, self._t_std = 0.0, 1.0
+            targets_model = targets
+
         self.kernel = get_kernel(kernel)
         self._inputs = inputs
-        self._targets = targets
+        self._targets = targets          # original units
+        self._targets_model = targets_model  # what the GP is fit on
 
         if inputdict:
             warnings.warn(
@@ -369,7 +385,7 @@ class GaussianProcess(GaussianProcessBase):
 
         self._data = make_gp_data(
             self._inputs,
-            self._targets,
+            self._targets_model,
             self._dm,
             self._priors,
             nugget_value=nugget_value if nugget_value is not None else 0.0,
@@ -629,6 +645,10 @@ class GaussianProcess(GaussianProcessBase):
             )
         mu = np.asarray(mu, dtype=np.float64)
         var = None if var is None else np.asarray(var, dtype=np.float64)
+        if self._standardize:
+            mu = mu * self._t_std + self._t_mean
+            if var is not None:
+                var = var * self._t_std**2
         return PredictResult(mean=mu, unc=var, deriv=None)
 
     def __call__(self, testing):
@@ -643,6 +663,7 @@ class GaussianProcess(GaussianProcessBase):
         return {
             "inputs": np.asarray(self._inputs),
             "targets": np.asarray(self._targets),
+            "standardize": self._standardize,
             "mean": self._mean,
             "kernel": type(self.kernel).__name__,
             "priors": self._priors,
@@ -666,6 +687,7 @@ class GaussianProcess(GaussianProcessBase):
             kernel=state["kernel"],
             priors=state["priors"],
             nugget=state["nugget"],
+            standardize=state.get("standardize", False),
         )
         if state["theta"] is not None:
             self.fit(state["theta"])

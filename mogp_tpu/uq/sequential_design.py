@@ -370,6 +370,8 @@ class MICEDesign(SequentialDesign):
 
         self.nugget = nugget if isinstance(nugget, str) else float(nugget)
         self.nugget_s = float(nugget_s)
+        self._t_mean = 0.0
+        self._t_std = 1.0
         super().__init__(base_design, f, n_samples, n_init, n_cand)
 
     def get_nugget(self):
@@ -383,7 +385,9 @@ class MICEDesign(SequentialDesign):
         assert next_point.shape == (self.get_n_parameters(),), (
             "bad shape for next_point"
         )
-        return self.gp.predict(next_point)[0]
+        # internal GP is fit on standardized targets; map back to
+        # original units
+        return self.gp.predict(next_point)[0] * self._t_std + self._t_mean
 
     def _MICE_criterion(self, data_point):
         """MICE criterion for one candidate (``SequentialDesign.py:886-931``)."""
@@ -399,34 +403,54 @@ class MICEDesign(SequentialDesign):
         """Fit base + candidate GPs, score all candidates at once
         (``SequentialDesign.py:933-964``)."""
         numtries = 10
+        # fit the internal GP on standardized targets: the MICE criterion
+        # is a scale-invariant variance ratio, and standardization keeps
+        # the factorizations well-conditioned in float32 on badly-scaled
+        # simulators (predictions are mapped back in _estimate_next_target)
+        self._t_mean = float(np.mean(self.targets))
+        self._t_std = float(np.std(self.targets)) or 1.0
+        targets_std = (self.targets - self._t_mean) / self._t_std
         for i in range(numtries):
             try:
                 self.gp = GaussianProcess(
-                    self.inputs, self.targets, nugget=self.nugget
+                    self.inputs, targets_std, nugget=self.nugget
                 )
                 self.gp = fit_GP_MAP(self.gp)
 
                 base_nugget = self.gp.theta.nugget
                 if base_nugget is None:
                     base_nugget = 0.0
+                # floor the candidate-GP nugget relative to the fitted
+                # signal variance: a zero base nugget with long fitted
+                # correlation lengths makes the dense candidate covariance
+                # numerically singular (the reference hits a LinAlgError
+                # here and retries; we stabilize instead)
+                eps = float(np.finfo(np.asarray(self.gp._data.inputs).dtype).eps)
+                fast_nugget = max(
+                    float(base_nugget) * self.nugget_s,
+                    1e3 * eps * float(self.gp.theta.cov),
+                )
                 self.gp_fast = MICEFastGP(
                     self.candidates,
                     np.ones(self.n_cand),
-                    nugget=float(base_nugget * self.nugget_s),
+                    nugget=fast_nugget,
                 )
                 # transfer corr/cov raw parameters from the base GP fit
                 self.gp_fast.fit(
                     np.asarray(self.gp.theta.get_data())[: self.gp_fast.n_params]
                 )
-                break
+
+                unc1 = self.gp.predict(self.candidates, unc=True)[1]
+                unc2 = self.gp_fast.fast_predict_all()
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    results = unc1 / np.maximum(unc2, 1e-300)
+                # degenerate candidates are excluded from the argmax
+                results = np.where(np.isfinite(results), results, -np.inf)
+                if not np.any(np.isfinite(results)):
+                    raise FloatingPointError("non-finite MICE criteria")
+                return int(np.argmax(results))
             except (RuntimeError, FloatingPointError, np.linalg.LinAlgError):
                 if i == numtries - 1:
                     raise RuntimeError(
                         "Unable to find parameters suitable for both GPs"
                     )
-
-        unc1 = self.gp.predict(self.candidates, unc=True)[1]
-        unc2 = self.gp_fast.fast_predict_all()
-        results = unc1 / unc2
-        assert np.all(np.isfinite(results)), "error in computing MICE criteria"
-        return int(np.argmax(results))

@@ -220,3 +220,32 @@ def test_str():
     gp = GaussianProcess(X, Y)
     assert "15 training examples" in str(gp)
     assert "2 input variables" in str(gp)
+
+
+def test_standardize_option():
+    """standardize=True is equivalent to manually standardizing the
+    targets and mapping predictions back."""
+    ys = Y * 1e6 + 3e7  # badly scaled targets
+    theta = np.array([0.3, -0.2, 0.5])
+    scale = float(np.std(ys))
+    offset = float(np.mean(ys))
+
+    gp_std = GaussianProcess(X, ys, nugget=1e-6,
+                             priors=GPPriors(n_corr=2, nugget_type="fixed"),
+                             standardize=True)
+    gp_manual = GaussianProcess(X, (ys - offset) / scale, nugget=1e-6,
+                                priors=GPPriors(n_corr=2, nugget_type="fixed"))
+    gp_std.fit(theta)
+    gp_manual.fit(theta)
+
+    xt = rng.uniform(0, 2, size=(6, 2))
+    mu_s, var_s, _ = gp_std.predict(xt)
+    mu_m, var_m, _ = gp_manual.predict(xt)
+    assert_allclose(mu_s, mu_m * scale + offset, rtol=1e-10)
+    assert_allclose(var_s, var_m * scale**2, rtol=1e-10)
+    # original-unit targets preserved; pickling keeps the flag
+    assert_allclose(gp_std.targets, ys)
+    import pickle
+
+    gp2 = pickle.loads(pickle.dumps(gp_std))
+    assert_allclose(gp2.predict(xt)[0], mu_s, rtol=1e-8)

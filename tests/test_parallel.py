@@ -1,0 +1,113 @@
+"""Mesh-sharding tests on the 8-device virtual CPU platform.
+
+Validates that the sharded paths produce the same numbers as the
+single-device paths and that the driver entry points work.
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+import jax
+
+from mogp_tpu import GaussianProcess, MultiOutputGP, fit_GP_MAP
+from mogp_tpu.parallel import auto_mesh, sharded_fit_mogp, sharded_predict
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multiple devices"
+)
+
+rng = np.random.RandomState(0)
+X = rng.rand(16, 3)
+YS = np.stack([np.sin((k + 1) * X[:, 0]) + X[:, 1] for k in range(8)])
+
+
+def test_auto_mesh():
+    mesh = auto_mesh(4)
+    assert mesh.shape["outputs"] == 4
+    mesh2 = auto_mesh(8, axis_names=("outputs", "data"), shape=(4, 2))
+    assert mesh2.shape == {"outputs": 4, "data": 2}
+
+
+def test_sharded_fit_matches_local():
+    np.random.seed(1)
+    mgp_local = fit_GP_MAP(MultiOutputGP(X, YS), n_tries=2, maxiter=30)
+
+    np.random.seed(1)
+    mgp_shard = MultiOutputGP(X, YS)
+    mesh = auto_mesh(8)
+    mgp_shard = sharded_fit_mogp(mgp_shard, n_tries=2, mesh=mesh, maxiter=30)
+
+    assert len(mgp_shard.get_indices_fit()) == 8
+    for a, b in zip(mgp_local.emulators, mgp_shard.emulators):
+        assert_allclose(
+            a.theta.get_data(), b.theta.get_data(), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_sharded_predict_matches_local():
+    gp = fit_GP_MAP(GaussianProcess(X, YS[0]), n_tries=2)
+    testing = rng.rand(40, 3)
+    mu_local, var_local, _ = gp.predict(testing)
+    mesh = auto_mesh(8)
+    mu_shard, var_shard = sharded_predict(gp, testing, mesh=mesh)
+    assert_allclose(mu_shard, mu_local, rtol=1e-9)
+    assert_allclose(var_shard, var_local, rtol=1e-7, atol=1e-12)
+
+
+def test_sharded_predict_odd_sizes():
+    """Query counts not divisible by the mesh size are padded/sliced."""
+    gp = fit_GP_MAP(GaussianProcess(X, YS[0]), n_tries=2)
+    mesh = auto_mesh(8)
+    for n_query in [1, 7, 13]:
+        testing = rng.rand(n_query, 3)
+        mu, var = sharded_predict(gp, testing, mesh=mesh)
+        mu_ref, var_ref, _ = gp.predict(testing)
+        assert_allclose(mu, mu_ref, rtol=1e-9)
+
+
+def test_sharded_mcmc_chains():
+    from mogp_tpu.models.inference import sample_GP_MCMC
+
+    gp = fit_GP_MAP(GaussianProcess(X, YS[0], nugget="fit"), n_tries=2)
+    mesh = auto_mesh(4)
+    res = sample_GP_MCMC(
+        gp, n_samples=50, n_warmup=50, n_chains=4, mesh=mesh,
+        theta0=gp.theta.get_data(),
+    )
+    assert res.samples.shape == (4, 50, gp.n_params)
+    assert np.all(np.isfinite(res.samples))
+
+
+def test_graft_entry_points():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(float(out[0]))
+
+    mod.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_smc_with_mesh():
+    from mogp_tpu.uq.smc import smc_history_match
+
+    np.random.seed(11)
+    x = np.random.rand(30, 2) * 4 - 2
+    y = x[:, 0] ** 2 + x[:, 1] ** 2
+    gp = fit_GP_MAP(GaussianProcess(x, y, nugget=1e-6), n_tries=8)
+    mesh = auto_mesh(8)
+    res = smc_history_match(
+        gp, obs=[1.0, 0.01], bounds=[[-2, 2], [-2, 2]],
+        n_particles=512, n_stages=5, n_mcmc=2, seed=0, mesh=mesh,
+    )
+    assert res.particles.shape == (512, 2)
+    assert res.nroy_fraction > 0.5
