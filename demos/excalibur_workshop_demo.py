@@ -46,7 +46,9 @@ def main():
     print("analytic mean coefficients:", np.round(gp.theta.mean, 4))
 
     # calibrate: which (freq, damping) are consistent with an observation?
-    query = design.sample(5000)
+    # (plain LHC for dense query sampling -- MaxiMin's pairwise search is
+    # meant for small training designs)
+    query = mogp_tpu.LatinHypercubeDesign([(0.5, 5.0), (0.1, 2.0)]).sample(5000)
     hm = mogp_tpu.HistoryMatching(gp=gp, coords=query, obs=[0.5, 0.001])
     nroy = hm.get_NROY()
     print("NROY: {} / {} query points".format(len(nroy), len(query)))

@@ -100,8 +100,10 @@ _MAX_LANES = int(os.environ.get("MOGP_TPU_MAX_FIT_LANES", "256"))
 
 def _extract_opt_options(kwargs):
     maxiter = int(kwargs.pop("maxiter", 200))
-    gtol = float(kwargs.pop("gtol", 1e-5))
-    ftol = float(kwargs.pop("ftol", 1e-10))
+    gtol = kwargs.pop("gtol", None)
+    ftol = kwargs.pop("ftol", None)
+    gtol = None if gtol is None else float(gtol)
+    ftol = None if ftol is None else float(ftol)
     kwargs.pop("processes", None)  # accepted for API parity; batching replaces it
     if kwargs:
         warnings.warn(

@@ -86,8 +86,8 @@ def lbfgs_minimize(
     fun,
     x0,
     maxiter=200,
-    gtol=1e-5,
-    ftol=1e-10,
+    gtol=None,
+    ftol=None,
     memory=10,
     max_linesearch=25,
     c1=1e-4,
@@ -98,12 +98,24 @@ def lbfgs_minimize(
     :param fun: scalar objective ``f(x)``; differentiated with
                 ``jax.value_and_grad``.
     :param x0: starting point ``(P,)``.
+    :param gtol: inf-norm gradient tolerance; ``None`` selects a
+                 dtype-appropriate default (1e-5 in f64, ~3e-4 in f32 --
+                 f64-calibrated tolerances make float32 runs spin to
+                 maxiter on rounding noise).
+    :param ftol: relative objective-change tolerance; ``None`` selects
+                 ~1e-10 in f64, ~1e-6 in f32.
     :returns: ``LBFGSResult``.  Jittable and vmappable.
     """
     value_and_grad = jax.value_and_grad(fun)
     P = x0.shape[0]
     dtype = x0.dtype
     m = memory
+
+    eps = float(jnp.finfo(dtype).eps)
+    if gtol is None:
+        gtol = max(1e-5, 2.0 * eps**0.5)
+    if ftol is None:
+        ftol = max(1e-10, 10.0 * eps)
 
     f0, g0 = value_and_grad(x0)
     bad_start = jnp.logical_not(jnp.isfinite(f0) & jnp.all(jnp.isfinite(g0)))

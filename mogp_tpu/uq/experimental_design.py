@@ -272,7 +272,16 @@ class MaxiMinLHC(LatinHypercubeDesign):
             strata + np.random.random((n_tries, n_samples, n_parameters))
         ) / float(n_samples)
 
-        min_dists = np.asarray(_min_pdist_batch(jnp.asarray(candidates)))
+        # chunk the tries axis so the (chunk, n, n) distance tensor stays
+        # bounded in memory for large designs
+        max_elems = 1 << 26
+        chunk = max(1, int(max_elems // max(n_samples * n_samples, 1)))
+        min_dists = np.empty(n_tries)
+        for c0 in range(0, n_tries, chunk):
+            block = candidates[c0 : c0 + chunk]
+            min_dists[c0 : c0 + len(block)] = np.asarray(
+                _min_pdist_batch(jnp.asarray(block))
+            )
         best = int(np.argmax(min_dists))
         best_samples = candidates[best]
         assert np.all(best_samples >= 0.0) and np.all(best_samples <= 1.0)
