@@ -45,40 +45,44 @@ class _State(NamedTuple):
     Y: jnp.ndarray        # (m, P) grad-diff history
     rho: jnp.ndarray      # (m,) 1 / s.y
     gamma: jnp.ndarray    # H0 scaling
-    head: jnp.ndarray     # next write slot in circular buffers
     n_hist: jnp.ndarray   # valid history entries
     it: jnp.ndarray
     done: jnp.ndarray
     converged: jnp.ndarray
 
 
-def _two_loop(g, S, Y, rho, gamma, head, n_hist):
-    """Two-loop recursion producing the quasi-Newton direction -H g."""
+def _two_loop(g, S, Y, rho, gamma, n_hist):
+    """Two-loop recursion producing the quasi-Newton direction -H g.
+
+    History is kept *ordered* (slot m-1 = newest, maintained by rolling on
+    store), so both loops scan fixed-order slices with no dynamic
+    indexing -- keeps the lowered HLO free of gathers.
+    """
     m = S.shape[0]
     ks = jnp.arange(m)
+    valid = ks >= (m - n_hist)  # slots holding real history
 
-    def newest_first(k):
-        return (head - 1 - k) % m
+    def bwd(carry, operands):
+        q, = carry
+        s, y, rh, v = operands
+        alpha = jnp.where(v, rh * jnp.dot(s, q), 0.0)
+        q = q - alpha * y
+        return (q,), alpha
 
-    def bwd(carry, k):
-        q, alphas = carry
-        j = newest_first(k)
-        valid = k < n_hist
-        alpha = jnp.where(valid, rho[j] * jnp.dot(S[j], q), 0.0)
-        q = q - alpha * Y[j] * valid
-        return (q, alphas.at[j].set(alpha)), None
-
-    (q, alphas), _ = lax.scan(bwd, (g, jnp.zeros(m, dtype=g.dtype)), ks)
+    (q,), alphas_rev = lax.scan(
+        bwd, (g,), (S[::-1], Y[::-1], rho[::-1], valid[::-1])
+    )
     r = gamma * q
+    alphas = alphas_rev[::-1]
 
-    def fwd(r, k):
-        j = newest_first(m - 1 - k)
-        valid = (m - 1 - k) < n_hist
-        beta = jnp.where(valid, rho[j] * jnp.dot(Y[j], r), 0.0)
-        r = r + (alphas[j] - beta) * S[j] * valid
-        return r, None
+    def fwd(carry, operands):
+        r, = carry
+        s, y, rh, v, alpha = operands
+        beta = jnp.where(v, rh * jnp.dot(y, r), 0.0)
+        r = r + (alpha - beta) * s * v
+        return (r,), None
 
-    r, _ = lax.scan(fwd, r, ks)
+    (r,), _ = lax.scan(fwd, (r,), (S, Y, rho, valid, alphas))
     return -r
 
 
@@ -128,7 +132,6 @@ def lbfgs_minimize(
         Y=jnp.zeros((m, P), dtype=dtype),
         rho=jnp.zeros((m,), dtype=dtype),
         gamma=jnp.ones((), dtype=dtype),
-        head=jnp.zeros((), dtype=jnp.int32),
         n_hist=jnp.zeros((), dtype=jnp.int32),
         it=jnp.zeros((), dtype=jnp.int32),
         done=bad_start,
@@ -175,8 +178,7 @@ def lbfgs_minimize(
 
     def step(state):
         d = _two_loop(
-            state.g, state.S, state.Y, state.rho, state.gamma,
-            state.head, state.n_hist,
+            state.g, state.S, state.Y, state.rho, state.gamma, state.n_hist,
         )
         # safeguard: fall back to steepest descent if not a descent direction
         descent = jnp.dot(state.g, d) < 0
@@ -203,12 +205,15 @@ def lbfgs_minimize(
         curv_ok = sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y)
         store = jnp.logical_and(accepted, curv_ok)
 
-        S = jnp.where(store, state.S.at[state.head].set(s), state.S)
-        Y = jnp.where(store, state.Y.at[state.head].set(y), state.Y)
-        rho = jnp.where(
-            store, state.rho.at[state.head].set(1.0 / sy), state.rho
+        # ordered history: roll the buffers and write the newest at m-1
+        S_rolled = jnp.concatenate([state.S[1:], s[None]], axis=0)
+        Y_rolled = jnp.concatenate([state.Y[1:], y[None]], axis=0)
+        rho_rolled = jnp.concatenate(
+            [state.rho[1:], (1.0 / sy)[None]], axis=0
         )
-        head = jnp.where(store, (state.head + 1) % m, state.head)
+        S = jnp.where(store, S_rolled, state.S)
+        Y = jnp.where(store, Y_rolled, state.Y)
+        rho = jnp.where(store, rho_rolled, state.rho)
         n_hist = jnp.where(store, jnp.minimum(state.n_hist + 1, m), state.n_hist)
         gamma = jnp.where(store, sy / jnp.dot(y, y), state.gamma)
 
@@ -225,7 +230,7 @@ def lbfgs_minimize(
             x=jnp.where(accepted, x_new, state.x),
             f=jnp.where(accepted, f_new, state.f),
             g=jnp.where(accepted, g_new, state.g),
-            S=S, Y=Y, rho=rho, gamma=gamma, head=head, n_hist=n_hist,
+            S=S, Y=Y, rho=rho, gamma=gamma, n_hist=n_hist,
             it=state.it + 1,
             done=done,
             converged=converged,
