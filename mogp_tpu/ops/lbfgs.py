@@ -46,6 +46,8 @@ class _State(NamedTuple):
     rho: jnp.ndarray      # (m,) 1 / s.y
     gamma: jnp.ndarray    # H0 scaling
     n_hist: jnp.ndarray   # valid history entries
+    f_best: jnp.ndarray   # best objective seen (stall detection)
+    stall: jnp.ndarray    # iterations since a significant improvement
     it: jnp.ndarray
     done: jnp.ndarray
     converged: jnp.ndarray
@@ -133,6 +135,8 @@ def lbfgs_minimize(
         rho=jnp.zeros((m,), dtype=dtype),
         gamma=jnp.ones((), dtype=dtype),
         n_hist=jnp.zeros((), dtype=jnp.int32),
+        f_best=f0,
+        stall=jnp.zeros((), dtype=jnp.int32),
         it=jnp.zeros((), dtype=jnp.int32),
         done=bad_start,
         converged=jnp.array(False),
@@ -224,13 +228,26 @@ def lbfgs_minimize(
         converged = jnp.logical_and(
             accepted, jnp.logical_or(g_conv, f_conv)
         )
-        done = jnp.logical_or(converged, jnp.logical_not(accepted))
+        # stall detection: lockstep-batched lanes that bounce around a
+        # plateau without net progress would otherwise run to maxiter and
+        # hold the whole batch hostage
+        improved = f_new < state.f_best - ftol * jnp.maximum(
+            jnp.abs(state.f_best), 1.0
+        )
+        f_best = jnp.minimum(state.f_best, f_new)
+        stall = jnp.where(improved, 0, state.stall + 1)
+        done = jnp.logical_or(
+            jnp.logical_or(converged, jnp.logical_not(accepted)),
+            stall >= 10,
+        )
 
         return _State(
             x=jnp.where(accepted, x_new, state.x),
             f=jnp.where(accepted, f_new, state.f),
             g=jnp.where(accepted, g_new, state.g),
             S=S, Y=Y, rho=rho, gamma=gamma, n_hist=n_hist,
+            f_best=f_best,
+            stall=stall,
             it=state.it + 1,
             done=done,
             converged=converged,
