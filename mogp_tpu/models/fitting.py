@@ -15,6 +15,7 @@ surviving restart are left unfit (``theta = None``) and reported via
 ``get_indices_not_fit``; single-GP fitting raises on total failure.
 """
 
+import os
 import warnings
 from functools import partial
 
@@ -89,8 +90,6 @@ def _gather_starts(gp, n_tries, theta0):
             starts.append(np.asarray(gp.priors.sample(), dtype=np.float64))
     return np.stack(starts)
 
-
-import os
 
 # Upper bound on concurrent (output x restart) L-BFGS lanes per compiled
 # program.  Bounds compile time and device memory for very large

@@ -17,6 +17,7 @@ the reference (``MultiOutputGP.py:19-546``).
 """
 
 import warnings
+from functools import partial
 
 import numpy as np
 
@@ -288,9 +289,6 @@ class MultiOutputGP(MultiOutputGPBase):
             + str(self.D)
             + " input variables"
         )
-
-
-from functools import partial
 
 
 @partial(

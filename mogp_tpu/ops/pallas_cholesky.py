@@ -25,6 +25,14 @@ relies on.
 
 This is the TPU-native counterpart of the reference GPU backend's
 cuSOLVER ``potrf`` usage (``mogp_gpu/src/densegp_gpu.hpp:451-470``).
+
+Status: EXPERIMENTAL.  On a single-core v5e the kernel is VMEM-capacity
+limited (the whole (chunk, n, n) block must be resident, which caps the
+lane utilization of the batch-vectorized steps), and measured throughput
+is comparable to -- not better than -- XLA's batched Cholesky, so the
+production path (``ops.cholesky``) uses the XLA factorization.  On parts
+with larger VMEM or for multi-kernel fusion experiments this kernel is
+the starting point.
 """
 
 import functools
@@ -40,35 +48,48 @@ _VMEM_BUDGET = 6 * 1024 * 1024
 
 
 def _chol_kernel(n, a_ref, out_ref):
-    """Factor a (chunk, n, n) block in VMEM, vectorized over the chunk."""
+    """Factor a (chunk, n, n) block in VMEM, vectorized over the chunk.
+
+    Mosaic cannot prove alignment for dynamic indices in the lane (last)
+    dimension, so column extraction/writeback is expressed as masked
+    reductions/selects over the full block -- the n steps are then pure
+    wide VPU operations with no dynamic lane indexing.
+    """
     out_ref[:] = a_ref[:]
     chunk = a_ref.shape[0]
 
-    col_iota = lax.broadcasted_iota(jnp.int32, (chunk, n, 1), 1)
+    row_iota = lax.broadcasted_iota(jnp.int32, (chunk, n, n), 1)
+    col_iota = lax.broadcasted_iota(jnp.int32, (chunk, n, n), 2)
+    rvec_iota = lax.broadcasted_iota(jnp.int32, (chunk, n), 1)
 
     def step(j, _):
-        # pivot (chunk, 1, 1)
-        piv = out_ref[:, j, j][:, None, None]
-        d = jnp.sqrt(piv)
-        col = out_ref[:, :, j][:, :, None]  # (chunk, n, 1)
+        W = out_ref[:]
+        onehot = col_iota == j                       # (chunk, n, n)
+        colj = jnp.sum(jnp.where(onehot, W, 0.0), axis=2)  # (chunk, n)
+        piv = jnp.sum(
+            jnp.where(rvec_iota == j, colj, 0.0), axis=1
+        )                                            # (chunk,)
+        d = jnp.sqrt(piv)[:, None]
         col_scaled = jnp.where(
-            col_iota > j,
-            col / d,
-            jnp.where(col_iota == j, jnp.broadcast_to(d, col.shape), 0.0),
+            rvec_iota > j,
+            colj / d,
+            jnp.where(rvec_iota == j, jnp.broadcast_to(d, colj.shape), 0.0),
+        )                                            # (chunk, n)
+        u = jnp.where(rvec_iota > j, col_scaled, 0.0)
+        # fused writeback: column j gets the scaled values, the trailing
+        # submatrix gets the rank-1 update (u is zero at indices <= j)
+        W_new = jnp.where(
+            onehot,
+            col_scaled[:, :, None],
+            W - u[:, :, None] * u[:, None, :],
         )
-        out_ref[:, :, j] = col_scaled[:, :, 0]
-        # rank-1 update; col_scaled is zero for indices < j and holds d at
-        # j, so subtract the j-row/col contribution implicitly by zeroing
-        u = jnp.where(col_iota > j, col_scaled, 0.0)  # (chunk, n, 1)
-        out_ref[:] = out_ref[:] - u * jnp.transpose(u, (0, 2, 1))
+        out_ref[:] = W_new
         return 0
 
     lax.fori_loop(0, n, step, 0)
 
     # keep only the lower triangle
-    row = lax.broadcasted_iota(jnp.int32, (chunk, n, n), 1)
-    col = lax.broadcasted_iota(jnp.int32, (chunk, n, n), 2)
-    out_ref[:] = jnp.where(row >= col, out_ref[:], 0.0)
+    out_ref[:] = jnp.where(row_iota >= col_iota, out_ref[:], 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

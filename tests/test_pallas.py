@@ -29,3 +29,21 @@ def test_pallas_kernel_diag_one():
     z = jnp.asarray(rng.rand(20, 4))
     K = np.asarray(pallas_kernel_matrix(z, z, base="mat52", interpret=True))
     assert_allclose(np.diag(K), 1.0, atol=1e-6)
+
+
+def test_pallas_batched_cholesky_interpret():
+    import numpy as np
+
+    rng2 = np.random.RandomState(5)
+    A = rng2.randn(4, 40, 40).astype(np.float32)
+    A = A @ np.transpose(A, (0, 2, 1)) + 40 * np.eye(40, dtype=np.float32)
+    from mogp_tpu.ops.pallas_cholesky import cholesky_batched
+
+    L = np.asarray(cholesky_batched(jnp.asarray(A), interpret=True))
+    assert_allclose(L, np.linalg.cholesky(A), atol=2e-4)
+    # non-PD lane NaNs without contaminating others
+    A_bad = A.copy()
+    A_bad[1] = -np.eye(40)
+    Lb = np.asarray(cholesky_batched(jnp.asarray(A_bad), interpret=True))
+    assert np.isnan(Lb[1]).any()
+    assert np.isfinite(Lb[[0, 2, 3]]).all()
