@@ -62,8 +62,6 @@ def load_gp(filename):
     f = np.load(filename, allow_pickle=False)
     config = json.loads(str(f["config"]))
     nugget = config["nugget"]
-    if isinstance(nugget, float):
-        pass
     gp = GaussianProcess(
         f["inputs"],
         f["targets"],
@@ -88,13 +86,9 @@ def save_mogp(mgp, filename):
         filename,
         inputs=np.asarray(mgp.inputs),
         targets=np.asarray(mgp.targets),
-        configs=np.asarray(configs, dtype=object_str()),
+        configs=np.asarray(configs),  # fixed-width unicode
         **{"theta_{}".format(i): t for i, t in enumerate(thetas)},
     )
-
-
-def object_str():
-    return "U{}".format(4096)
 
 
 def load_mogp(filename):
