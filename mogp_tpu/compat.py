@@ -18,13 +18,39 @@ import jax
 
 from .models.gp import GaussianProcess
 from .models.mogp import MultiOutputGP
+from .ops.kernels import KernelBase, mat52, sqexp
 
 __all__ = [
     "GaussianProcessGPU",
     "MultiOutputGP_GPU",
     "GPUUnavailableError",
     "gpu_usable",
+    "StationaryKernel",
+    "UniformKernel",
+    "ProductKernel",
+    "SqExpBase",
+    "Mat52Base",
 ]
+
+# kernel base-class aliases for reference imports
+# (``from mogp_emulator.Kernel import StationaryKernel`` etc.); the
+# reference's mixin hierarchy (``Kernel.py:224,419,581,765,853``)
+# collapses to configuration fields here.
+StationaryKernel = KernelBase
+UniformKernel = KernelBase
+ProductKernel = KernelBase
+
+
+class SqExpBase:
+    """Function-base alias (``Kernel.py:765``)."""
+
+    calc_K = staticmethod(sqexp)
+
+
+class Mat52Base:
+    """Function-base alias (``Kernel.py:853``)."""
+
+    calc_K = staticmethod(mat52)
 
 
 class GPUUnavailableError(RuntimeError):

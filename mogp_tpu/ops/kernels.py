@@ -166,6 +166,20 @@ class KernelBase:
             exp_theta = jnp.exp(params)
         return base_fn(squared_distance(x1, x2, exp_theta))
 
+    def calc_r2(self, x1, x2, params):
+        """Scaled squared distances (``Kernel.py:444-480`` /
+        ``Kernel.py:297-338`` for the uniform form; the product form
+        returns per-dimension distances ``(D, n1, n2)`` matching
+        ``Kernel.py:584-625``)."""
+        x1, x2, params = self._coerce(x1, x2, params)
+        exp_theta = jnp.exp(params)
+        if self.form == "product":
+            d2 = (x1[:, None, :] - x2[None, :, :]) ** 2 * exp_theta
+            return jnp.moveaxis(d2, -1, 0)
+        if self.form == "uniform":
+            exp_theta = exp_theta[0]
+        return squared_distance(x1, x2, exp_theta)
+
     def kernel_deriv(self, x1, x2, params):
         """Gradient of the kernel matrix w.r.t. the raw parameters.
 

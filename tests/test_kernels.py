@@ -130,3 +130,13 @@ def test_1d_input_reshape():
     K = np.asarray(SquaredExponential().kernel_f(x1, x1, np.array([0.0])))
     assert K.shape == (3, 3)
     assert_allclose(K[0, 1], np.exp(-0.5), rtol=1e-12)
+
+
+def test_calc_r2():
+    r2 = np.asarray(SquaredExponential().calc_r2(X1, X2, PARAMS))
+    assert_allclose(r2, oracle_r2(X1, X2, PARAMS), rtol=1e-10, atol=1e-12)
+    r2u = np.asarray(UniformSqExp().calc_r2(X1, X2, PARAMS[:1]))
+    assert r2u.shape == (len(X1), len(X2))
+    r2p = np.asarray(ProductMat52().calc_r2(X1, X2, PARAMS))
+    assert r2p.shape == (3, len(X1), len(X2))
+    assert_allclose(r2p.sum(axis=0), oracle_r2(X1, X2, PARAMS), rtol=1e-6, atol=1e-9)
