@@ -337,3 +337,45 @@ def test_systematic_resample():
     assert set(idx.tolist()) <= {1, 2}
     counts = np.bincount(idx, minlength=4)
     assert abs(counts[1] - 50) <= 1
+
+
+def test_history_matching_with_mogp():
+    """Multi-output GP + coords: rank-scored implausibility over outputs."""
+    np.random.seed(60)
+    x = np.random.rand(25, 2)
+    ys = np.stack([np.sin(4 * x[:, 0]), np.cos(4 * x[:, 1]), x[:, 0] + x[:, 1]])
+    mgp = fit_GP_MAP(MultiOutputGP(x, ys), n_tries=3)
+    coords = np.random.rand(50, 2)
+    truth = np.array([0.0, 1.0, 1.0])
+    hm = HistoryMatching(
+        gp=mgp, coords=coords, obs=[truth, np.full(3, 1e-2)]
+    )
+    I = hm.get_implausibility()
+    assert I.shape == (50,)
+    assert np.all(np.isfinite(I))
+    nroy = hm.get_NROY()
+    ro = hm.get_RO()
+    assert sorted(nroy + ro) == list(range(50))
+
+
+def test_sequential_design_custom_metric():
+    """Subclassing SequentialDesign with a custom metric (the extension
+    point the reference documents, SequentialDesign.py:34-39)."""
+    from mogp_tpu.uq.sequential_design import SequentialDesign
+
+    class GreedyFarthest(SequentialDesign):
+        def _eval_metric(self):
+            from scipy.spatial.distance import cdist
+
+            d = cdist(self.candidates, self.inputs).min(axis=1)
+            return int(np.argmax(d))
+
+    np.random.seed(61)
+    sd = GreedyFarthest(
+        LatinHypercubeDesign(2), lambda x: float(x.sum()), n_init=4, n_cand=20
+    )
+    sd.run_initial_design()
+    for _ in range(3):
+        sd.run_next_point()
+    assert sd.get_inputs().shape == (7, 2)
+    assert sd.get_targets().shape == (7,)
