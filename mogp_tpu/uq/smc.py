@@ -53,8 +53,47 @@ def systematic_resample(key, weights, n):
     return jnp.searchsorted(cumsum, positions).astype(jnp.int32)
 
 
-def _make_implausibility_fn(gp, obs_mean, obs_var, discrepancy, include_nugget):
-    """Jittable ``x (m, D) -> I (m,)`` for a single-output GP."""
+def _make_implausibility_fn(gp, obs_mean, obs_var, discrepancy,
+                            include_nugget, rank=1):
+    """Jittable ``x (m, D) -> I (m,)``.
+
+    Single-output GPs give the plain implausibility; a ``MultiOutputGP``
+    (homogeneous configuration) gives the rank-scored implausibility over
+    outputs (``HistoryMatching.py:279-286`` semantics) with the per-output
+    predictions vmapped inside the same program.
+    """
+    from ..models.mogp import MultiOutputGPBase, _stack_pytrees
+
+    if isinstance(gp, MultiOutputGPBase):
+        assert len(gp._groups()) == 1, (
+            "multi-output SMC requires a homogeneous emulator configuration"
+        )
+        ems = gp.emulators
+        em0 = ems[0]
+        arts = _stack_pytrees([em._artifacts for em in ems])
+        data = _stack_pytrees([em._data for em in ems])
+        kernel = em0.kernel
+        nugget_type = em0.nugget_type
+        dm_fn = design_matrix_fn(em0._mean)
+        n_obs = obs_mean.shape[0]
+        eff_rank = 0 if n_obs == 1 else min(rank, n_obs - 1)
+
+        def I_fn(x):
+            dmtest = dm_fn(x).astype(x.dtype)
+            mu, var = jax.vmap(
+                lambda a, d: gp_predict(
+                    a, d, x, dmtest, kernel, nugget_type,
+                    unc=True, include_nugget=include_nugget, full_cov=False,
+                )
+            )(arts, data)                      # (n_obs, m) each
+            V = var + obs_var[:, None] + discrepancy
+            I = jnp.abs(obs_mean[:, None] - mu) / jnp.sqrt(V)
+            # rank-k largest across outputs (rank=0 -> max)
+            I_sorted = jnp.sort(I, axis=0)
+            return I_sorted[n_obs - eff_rank - 1]
+
+        return I_fn
+
     arts = gp._artifacts
     data = gp._data
     kernel = gp.kernel
@@ -84,6 +123,7 @@ def smc_history_match(
     discrepancy=0.0,
     include_nugget=True,
     quantile=0.5,
+    rank=1,
     seed=0,
     mesh=None,
 ):
@@ -99,25 +139,42 @@ def smc_history_match(
                      ``quantile`` of the current population's I (floored
                      at ``threshold``).
     :param n_mcmc: random-walk Metropolis rejuvenation steps per stage.
+    :param rank: for multi-output emulators, the rank-scored
+                 implausibility order (0 = max; default 1, matching
+                 ``HistoryMatching``).
     :param mesh: optional device mesh; particles are sharded on its
                  first axis.
     :returns: ``SMCResult``.
     """
-    assert isinstance(gp, GaussianProcessBase), "smc_history_match needs a GaussianProcess"
+    from ..models.mogp import MultiOutputGPBase
+
+    assert isinstance(gp, (GaussianProcessBase, MultiOutputGPBase)), (
+        "smc_history_match needs a GaussianProcess or MultiOutputGP"
+    )
     if isinstance(obs, (float, int)):
         obs = [float(obs), 0.0]
-    obs_mean, obs_var = float(obs[0]), float(obs[1])
+    if isinstance(gp, MultiOutputGPBase):
+        obs_mean = np.atleast_1d(np.asarray(obs[0], dtype=np.float64))
+        obs_var = np.atleast_1d(np.asarray(obs[1], dtype=np.float64))
+        assert obs_mean.shape[0] == gp.n_emulators, (
+            "need one observation per emulator output"
+        )
+        ref_em = gp.emulators[0]
+    else:
+        obs_mean, obs_var = float(obs[0]), float(obs[1])
+        ref_em = gp
 
     bounds = np.asarray(bounds, dtype=np.float64)
     assert bounds.shape == (gp.D, 2), "bounds must have shape (D, 2)"
 
-    dtype = gp._data.inputs.dtype
+    dtype = ref_em._data.inputs.dtype
     lo = jnp.asarray(bounds[:, 0], dtype=dtype)
     hi = jnp.asarray(bounds[:, 1], dtype=dtype)
 
     I_fn = _make_implausibility_fn(
         gp, jnp.asarray(obs_mean, dtype=dtype), jnp.asarray(obs_var, dtype=dtype),
         jnp.asarray(float(discrepancy), dtype=dtype), include_nugget,
+        rank=rank,
     )
 
     key = jax.random.PRNGKey(seed)

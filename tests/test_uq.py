@@ -379,3 +379,26 @@ def test_sequential_design_custom_metric():
         sd.run_next_point()
     assert sd.get_inputs().shape == (7, 2)
     assert sd.get_targets().shape == (7,)
+
+
+def test_smc_multioutput():
+    """Multi-output SMC: two paraboloid-family outputs; the NROY set is
+    the intersection ring."""
+    from mogp_tpu.uq.smc import smc_history_match
+
+    np.random.seed(12)
+    x = np.random.rand(50, 2) * 4 - 2
+    ys = np.stack([
+        x[:, 0] ** 2 + x[:, 1] ** 2,
+        (x[:, 0] - 0.2) ** 2 + x[:, 1] ** 2,
+    ])
+    mgp = fit_GP_MAP(MultiOutputGP(x, ys, nugget=1e-6), n_tries=8)
+    res = smc_history_match(
+        mgp, obs=[np.array([1.0, 1.0]), np.array([0.01, 0.01])],
+        bounds=[[-2, 2], [-2, 2]], n_particles=512, n_stages=6,
+        n_mcmc=2, rank=0, seed=0,
+    )
+    assert res.particles.shape == (512, 2)
+    assert res.nroy_fraction > 0.8
+    r = np.sqrt(np.sum(res.particles**2, axis=1))
+    assert abs(r.mean() - 1.0) < 0.2
