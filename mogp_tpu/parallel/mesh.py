@@ -5,7 +5,29 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["auto_mesh", "shard_leading", "replicate"]
+__all__ = ["auto_mesh", "shard_leading", "replicate", "init_distributed"]
+
+
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize multi-host JAX for pod-slice runs.
+
+    Thin convenience over ``jax.distributed.initialize``: call once per
+    host before building meshes; ``auto_mesh`` then spans the global
+    device set, and the sharded fit/predict/MCMC paths run over ICI+DCN
+    unchanged.  Arguments default to the standard TPU environment
+    auto-detection.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def auto_mesh(n_devices=None, axis_names=("outputs",), shape=None):

@@ -249,3 +249,32 @@ def test_standardize_option():
 
     gp2 = pickle.loads(pickle.dumps(gp_std))
     assert_allclose(gp2.predict(xt)[0], mu_s, rtol=1e-8)
+
+
+def test_mogp_full_cov_predict():
+    from mogp_tpu import MultiOutputGP, fit_GP_MAP
+
+    ys = np.stack([Y, -Y])
+    mgp = fit_GP_MAP(MultiOutputGP(X, ys), n_tries=2)
+    xt = rng.uniform(0, 2, size=(5, 2))
+    res = mgp.predict(xt, full_cov=True)
+    assert res.unc.shape == (2, 5, 5)
+    res_var = mgp.predict(xt)
+    for k in range(2):
+        assert_allclose(np.diag(res.unc[k]), res_var.unc[k], rtol=1e-6,
+                        atol=1e-10)
+
+
+def test_fit_with_gpparams_object():
+    from mogp_tpu import GPParams as GPParamsCls
+
+    gp = GaussianProcess(X, Y)
+    p = GPParamsCls(n_mean=0, n_corr=2, nugget="adaptive")
+    p.set_data(np.array([0.1, -0.2, 0.3]))
+    gp.fit(p)
+    assert_allclose(gp.theta.get_data(), [0.1, -0.2, 0.3])
+    # mismatched shape GPParams rejected
+    p_bad = GPParamsCls(n_mean=0, n_corr=3, nugget="adaptive")
+    p_bad.set_data(np.zeros(4))
+    with pytest.raises(AssertionError):
+        gp.fit(p_bad)
