@@ -41,7 +41,7 @@ from ..ops.cholesky import cholesky_factor
 from ..ops.kernels import get_kernel
 from .meanfun import design_matrix
 from .params import GPParams, _process_nugget
-from .priors import GPPriors, MeanPriors, dist_logp
+from .priors import GPPriors, dist_logp
 
 __all__ = [
     "GPData",

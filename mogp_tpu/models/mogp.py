@@ -24,13 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.kernels import KernelBase, get_kernel
-from .gp import (
-    GaussianProcess,
-    GaussianProcessBase,
-    PredictResult,
-    gp_predict,
-)
+from ..ops.kernels import KernelBase
+from .gp import GaussianProcess, PredictResult, gp_predict
 from .priors import GPPriors
 
 __all__ = ["MultiOutputGP", "MultiOutputGPBase"]

@@ -21,8 +21,6 @@ Reference parity: ``SquaredExponential``, ``UniformSqExp``, ``Matern52``,
 ``UniformMat52``, ``ProductMat52`` (``Kernel.py:946-996``).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,6 @@ XLA-friendly version of the reference's try/except-skip restart policy
 The objective must be smooth; gradients come from ``jax.value_and_grad``.
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -15,7 +15,6 @@ from scipy.spatial.distance import cdist, pdist, squareform
 
 import jax
 import jax.numpy as jnp
-from functools import partial
 
 from ..utils import k_fold_cross_validation
 
