@@ -106,3 +106,35 @@ def test_gp_vi(fit_gp):
     assert vi.elbo_trace[-1] > vi.elbo_trace[0]
     # VI mean should also be near the MAP for this well-identified posterior
     assert np.all(np.abs(vi.mean - fit_gp.theta.get_data()) < 2.0)
+
+
+def test_nuts_max_depth_one():
+    """max_depth=1 degenerates gracefully (two-leaf trees)."""
+
+    def potential(q):
+        return 0.5 * jnp.sum(q**2)
+
+    samples, infos = sample_nuts(
+        potential, jnp.zeros(2), jax.random.PRNGKey(3),
+        n_warmup=100, n_samples=200, max_depth=1,
+    )
+    s = np.asarray(samples)
+    assert np.all(np.isfinite(s))
+    assert abs(s.mean()) < 0.3
+    assert np.all(np.asarray(infos.n_leapfrog) <= 2)
+
+
+def test_nuts_respects_target_accept():
+    def potential(q):
+        return 0.5 * jnp.sum(q**2)
+
+    # NOTE: the multinomial-NUTS acceptance statistic runs biased above
+    # the dual-averaging target on easy targets, so low targets are only
+    # checked loosely
+    for target, tol in ((0.6, 0.25), (0.9, 0.1)):
+        _, infos = sample_nuts(
+            potential, jnp.zeros(3), jax.random.PRNGKey(4),
+            n_warmup=400, n_samples=200, target_accept=target,
+        )
+        acc = float(np.asarray(infos.accept_prob).mean())
+        assert abs(acc - target) < tol
