@@ -43,10 +43,10 @@ def main():
         gp2, obs=[1.0, 0.01], bounds=[[-2, 2], [-2, 2]],
         n_particles=4096, n_stages=8, seed=0,
     )
-    r = np.sqrt(np.sum(smc.particles**2, axis=1))
     print(
-        "2D SMC: {} particles, NROY fraction {:.3f}, radius {:.3f}+-{:.3f}"
-        .format(len(smc.particles), smc.nroy_fraction, r.mean(), r.std())
+        "2D SMC: {} particles, NROY fraction {:.3f}, spread {}"
+        .format(len(smc.particles), smc.nroy_fraction,
+                np.round(smc.particles.std(axis=0), 3))
     )
     assert smc.nroy_fraction > 0.9
 
