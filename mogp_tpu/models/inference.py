@@ -29,6 +29,7 @@ from .gp import GaussianProcess, gp_fit, gp_nlp, gp_predict
 
 __all__ = [
     "sample_GP_MCMC",
+    "sample_MOGP_MCMC",
     "fit_GP_VI",
     "predict_MCMC",
     "potential_scale_reduction",
@@ -198,6 +199,101 @@ def sample_GP_MCMC(
         rhat=np.asarray(rhat),
         ess=np.asarray(ess),
     )
+
+
+def sample_MOGP_MCMC(
+    mgp,
+    n_samples=500,
+    n_warmup=500,
+    n_chains=4,
+    seed=0,
+    max_depth=8,
+    target_accept=0.8,
+    mesh=None,
+):
+    """NUTS posteriors for every output of a MultiOutputGP at once.
+
+    The BASELINE target configuration ("full MultiOutputGP fit + NUTS
+    hyperparameter posteriors for a tsunami-scale emulator"): the
+    (outputs x chains) axes are vmapped into one program; with ``mesh``,
+    the outputs axis is sharded over devices.  Requires a homogeneous
+    emulator configuration and prior MAP fits (used as jittered chain
+    initializations).
+
+    :returns: list of per-output ``MCMCResult``.
+    """
+    from .mogp import MultiOutputGP, _stack_pytrees
+
+    assert isinstance(mgp, MultiOutputGP)
+    assert len(mgp._groups()) == 1, (
+        "sample_MOGP_MCMC requires a homogeneous emulator configuration"
+    )
+    assert mgp.get_indices_not_fit() == [], (
+        "MAP-fit all outputs first (fit_GP_MAP) to initialize chains"
+    )
+    ems = mgp.emulators
+    em0 = ems[0]
+    dtype = em0._data.inputs.dtype
+    P = em0.n_params
+    kernel = em0.kernel
+    nugget_type = em0.nugget_type
+
+    data_stack = _stack_pytrees([em._data for em in ems])
+    theta_map = jnp.asarray(
+        np.stack([em.theta.get_data() for em in ems]), dtype=dtype
+    )  # (G, P)
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    q0 = theta_map[:, None, :] + 0.5 * jax.random.normal(
+        k_init, (len(ems), n_chains, P), dtype=dtype
+    )
+    chain_keys = jax.random.split(k_run, len(ems) * n_chains).reshape(
+        len(ems), n_chains, -1
+    )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as Pspec
+
+        ax = mesh.axis_names[0]
+        q0 = jax.device_put(q0, NamedSharding(mesh, Pspec(ax, None, None)))
+        data_stack = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x,
+                NamedSharding(
+                    mesh, Pspec(ax, *([None] * (x.ndim - 1)))
+                ),
+            ),
+            data_stack,
+        )
+
+    def one_output(data, q0_chains, keys):
+        def potential(raw):
+            return gp_nlp(raw, data, kernel, nugget_type)
+
+        return jax.vmap(
+            lambda q, k: sample_nuts(
+                potential, q, k, n_warmup=n_warmup, n_samples=n_samples,
+                max_depth=max_depth, target_accept=target_accept,
+            )
+        )(q0_chains, keys)
+
+    samples, infos = jax.vmap(one_output)(data_stack, q0, chain_keys)
+    # samples: (G, n_chains, n_samples, P)
+
+    results = []
+    for g in range(len(ems)):
+        s = samples[g]
+        results.append(
+            MCMCResult(
+                samples=np.asarray(s),
+                accept_prob=np.asarray(infos.accept_prob[g]),
+                diverging=np.asarray(infos.diverging[g]),
+                rhat=np.asarray(potential_scale_reduction(s)),
+                ess=np.asarray(effective_sample_size(s)),
+            )
+        )
+    return results
 
 
 # ---------------------------------------------------------------------------

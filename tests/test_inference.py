@@ -138,3 +138,24 @@ def test_nuts_respects_target_accept():
         )
         acc = float(np.asarray(infos.accept_prob).mean())
         assert abs(acc - target) < tol
+
+
+def test_sample_mogp_mcmc():
+    from mogp_tpu import MultiOutputGP, fit_GP_MAP
+    from mogp_tpu.models.inference import sample_MOGP_MCMC
+
+    np.random.seed(9)
+    x = np.random.rand(30, 2) * 2
+    ys = np.stack([np.sin(3 * x[:, 0]) * x[:, 1], np.cos(3 * x[:, 0]) + x[:, 1]])
+    mgp = fit_GP_MAP(MultiOutputGP(x, ys, nugget="fit"), n_tries=4)
+    results = sample_MOGP_MCMC(
+        mgp, n_samples=80, n_warmup=120, n_chains=2, seed=0
+    )
+    assert len(results) == 2
+    for res, em in zip(results, mgp.emulators):
+        assert res.samples.shape == (2, 80, em.n_params)
+        assert np.all(np.isfinite(res.samples))
+        # chains mix (weakly-identified GP posteriors can be multimodal,
+        # so proximity to the MAP is not asserted; mixing is)
+        assert np.all(res.rhat < 1.3)
+        assert res.accept_prob.mean() > 0.5
