@@ -80,7 +80,7 @@ def _ensure_live_backend():
             [sys.executable, "-c",
              "import jax, jax.numpy as jnp;"
              "jax.block_until_ready(jnp.ones((8, 8)) @ jnp.ones((8, 8)))"],
-            timeout=150, check=True,
+            timeout=90, check=True,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
         return "accelerator"
