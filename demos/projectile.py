@@ -10,7 +10,13 @@ implemented independently with ``scipy.integrate.solve_ivp``.
 import numpy as np
 from scipy.integrate import solve_ivp
 
-__all__ = ["simulator", "print_results"]
+__all__ = [
+    "simulator",
+    "simulator_multioutput",
+    "print_results",
+    "print_predictions",
+    "print_errors",
+]
 
 G = 9.8  # m/s^2
 
@@ -35,10 +41,14 @@ def simulator(params):
     :param params: array ``[log10_drag, v0]``.
     :returns: landing distance (m).
     """
+    return float(_solve(params).y[0, -1])
+
+
+def _solve(params):
     log_drag, v0 = float(params[0]), float(params[1])
     drag = 10.0**log_drag
     v_component = v0 / np.sqrt(2.0)
-    sol = solve_ivp(
+    return solve_ivp(
         _rhs,
         (0.0, 1.0e8),
         [0.0, 2.0, v_component, v_component],
@@ -46,16 +56,42 @@ def simulator(params):
         args=(drag,),
         rtol=1e-8,
     )
-    return float(sol.y[0, -1])
 
 
-def print_results(inputs, errors, variances):
-    """Tabulate validation errors."""
-    print("Validation results:")
-    print("{:>24} {:>12} {:>12}".format("input point", "std error", "variance"))
-    for pt, err, var in zip(inputs, errors, variances):
+def simulator_multioutput(params):
+    """Two outputs: landing distance and landing speed.
+
+    Multi-output counterpart of :func:`simulator` (the reference pairs
+    the same two quantities in ``demos/projectile.py``).
+    """
+    sol = _solve(params)
+    x, y, vx, vy = sol.y[:, -1]
+    return float(x), float(np.sqrt(vx**2 + vy**2))
+
+
+def print_results(inputs, values, variances):
+    """Tabulate (input point, value, variance) triples."""
+    print("{:>24} {:>14} {:>14}".format("input point", "value", "variance"))
+    for pt, val, var in zip(inputs, values, variances):
         print(
-            "({:8.3f}, {:8.2f})       {:12.4f} {:12.4g}".format(
-                pt[0], pt[1], err, var
+            "({:8.3f}, {:8.2f})     {:>14} {:>14}".format(
+                pt[0],
+                pt[1],
+                "{:12.4f}".format(val) if val != "" else "",
+                "{:12.4g}".format(var) if var != "" else "",
             )
         )
+
+
+def print_predictions(inputs, means, variances):
+    """Tabulate predictive means and variances."""
+    print("Predictions:")
+    print_results(inputs, means, variances)
+
+
+def print_errors(inputs, errors, variances):
+    """Tabulate standard errors and report the mean squared error."""
+    print("Validation standard errors:")
+    print_results(inputs, errors, variances)
+    errors = np.asarray(errors, dtype=float)
+    print("Mean squared error: {}".format(np.mean(errors**2)))

@@ -14,6 +14,13 @@ public API surface mirrors ``mogp_emulator/__init__.py:1-16``):
 
 __version__ = "0.1.0"
 
+# module-style aliases matching the reference package layout, where
+# ``mogp_emulator.Priors`` / ``mogp_emulator.Kernel`` resolve to submodules
+# (bound transitively by ``mogp_emulator/__init__.py:1-16``); user scripts
+# written as ``mogp_emulator.Priors.GPPriors(...)`` port over unchanged
+from .models import priors as Priors
+from .ops import kernels as Kernel
+
 from .models.gp import GaussianProcess, PredictResult
 from .models.params import GPParams
 from .models.priors import (
