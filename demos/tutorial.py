@@ -38,10 +38,13 @@ def main():
     simulation_output = np.array([simulator(p) for p in simulation_points])
 
     # 2-3. fit surrogate with MAP (batched restarts)
+    # standardize=True rescales targets to zero mean / unit variance
+    # internally: the raw distances span ~1e4 m, which keeps the fit
+    # well-conditioned in float32 (the TPU production dtype)
     gp = mogp_tpu.GaussianProcess(
-        simulation_points, simulation_output, nugget="fit"
+        simulation_points, simulation_output, nugget="fit", standardize=True
     )
-    gp = mogp_tpu.fit_GP_MAP(gp, n_tries=5)
+    gp = mogp_tpu.fit_GP_MAP(gp, n_tries=10)
 
     print("Correlation lengths = {}".format(gp.theta.corr))
     print("Sigma = {}".format(np.sqrt(gp.theta.cov)))

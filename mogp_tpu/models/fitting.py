@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.lbfgs import lbfgs_minimize
-from .gp import GaussianProcess, GaussianProcessBase, gp_nlp
+from .gp import GaussianProcess, GaussianProcessBase, gp_fit, gp_nlp
 from .mogp import MultiOutputGP, _stack_pytrees
 
 __all__ = ["fit_GP_MAP"]
@@ -72,6 +72,14 @@ def _batched_fit_multi(starts, data, kernel, nugget_type, maxiter, gtol, ftol):
         )(x0s)
 
     return jax.vmap(fit_output)(starts, data)
+
+
+@partial(jax.jit, static_argnames=("kernel", "nugget_type"))
+def _batched_refit(raws, data, kernel, nugget_type):
+    """Fit-time artifacts for every output's best raw vector in one
+    vmapped program (replaces a per-emulator ``em.fit`` dispatch loop --
+    one device round-trip for the whole group instead of one per output)."""
+    return jax.vmap(lambda r, d: gp_fit(r, d, kernel, nugget_type))(raws, data)
 
 
 def _gather_starts(gp, n_tries, theta0):
@@ -228,13 +236,31 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
             fun[sel] = np.asarray(res.fun, dtype=np.float64)[: sel.stop - sel.start]
             xs[sel] = np.asarray(res.x, dtype=np.float64)[: sel.stop - sel.start]
 
+        best_raw = np.empty((G, starts.shape[-1]), dtype=np.float64)
+        fit_rows = []
         for row, em in enumerate(ems):
             finite = np.isfinite(fun[row])
             if not finite.any():
                 em.theta = None
             else:
                 idx = int(np.nanargmin(np.where(finite, fun[row], np.inf)))
-                em.fit(xs[row, idx])
+                best_raw[row] = xs[row, idx]
+                fit_rows.append(row)
+        if fit_rows:
+            data_g = _stack_pytrees([ems[r]._data for r in fit_rows])
+            arts = jax.device_get(
+                _batched_refit(
+                    jnp.asarray(best_raw[fit_rows], dtype=dtype),
+                    data_g,
+                    em0.kernel,
+                    em0.nugget_type,
+                )
+            )
+            for k, row in enumerate(fit_rows):
+                ems[row]._set_fit_artifacts(
+                    best_raw[row],
+                    jax.tree_util.tree_map(lambda x: x[k], arts),
+                )
     return gp
 
 

@@ -544,8 +544,14 @@ class GaussianProcess(GaussianProcessBase):
             self.kernel,
             self._nugget_type,
         )
+        self._set_fit_artifacts(raw, arts)
+
+    def _set_fit_artifacts(self, raw, arts):
+        """Install precomputed fit artifacts (shared by ``fit`` and the
+        batched multi-output refit, which computes artifacts for a whole
+        emulator group in one vmapped program)."""
         self._artifacts = arts
-        self._theta.set_data(raw)
+        self._theta.set_data(np.asarray(raw, dtype=np.float64))
         self._theta.mean = np.asarray(arts.mean, dtype=np.float64)
         if self._nugget_type == "adaptive":
             self._theta.nugget = float(arts.nugget)

@@ -78,14 +78,25 @@ def potential_scale_reduction(samples):
     return jnp.sqrt(var_plus / W)
 
 
-@jax.jit
 def effective_sample_size(samples):
     """Bulk effective sample size per parameter via FFT autocorrelation
     with Geyer's initial-positive-sequence truncation.
 
+    Runs pinned to the CPU backend: it is a cheap post-hoc diagnostic,
+    and TPU backends reject the f64 FFT it needs in x64 mode.
+
     :param samples: ``(n_chains, n_samples, P)``.
     :returns: ``(P,)`` ESS estimates.
     """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return _effective_sample_size(
+            jax.device_put(np.asarray(samples), cpu)
+        )
+
+
+@jax.jit
+def _effective_sample_size(samples):
     C, N, P = samples.shape
     x = samples - jnp.mean(samples, axis=1, keepdims=True)
 
