@@ -14,6 +14,14 @@ public API surface mirrors ``mogp_emulator/__init__.py:1-16``):
 
 __version__ = "0.1.0"
 
+# Dtype/precision policy: TPU matmuls default to bfloat16 operand
+# precision, which is fine everywhere EXCEPT the pairwise-distance matmul
+# (catastrophic cancellation; measured: MAP optimization stalls at
+# log-posteriors 4-5 orders of magnitude off the f64 optimum).  That one
+# op requests Precision.HIGHEST explicitly (ops/kernels.py); measured
+# fit quality then matches a HIGHEST-everywhere build exactly, so the
+# rest of the pipeline keeps full-speed MXU passes.
+
 # module-style aliases matching the reference package layout, where
 # ``mogp_emulator.Priors`` / ``mogp_emulator.Kernel`` resolve to submodules
 # (bound transitively by ``mogp_emulator/__init__.py:1-16``); user scripts

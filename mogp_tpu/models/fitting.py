@@ -42,7 +42,8 @@ def _batched_fit_single(starts, data, kernel, nugget_type, maxiter, gtol, ftol):
 
     def minimize_one(x0):
         return lbfgs_minimize(
-            lambda raw: gp_nlp(raw, data, kernel, nugget_type),
+            lambda raw: gp_nlp(raw, data, kernel, nugget_type,
+                               sparse_ladder=True),
             x0,
             maxiter=maxiter,
             gtol=gtol,
@@ -63,7 +64,8 @@ def _batched_fit_multi(starts, data, kernel, nugget_type, maxiter, gtol, ftol):
     def fit_output(x0s, d):
         return jax.vmap(
             lambda x0: lbfgs_minimize(
-                lambda raw: gp_nlp(raw, d, kernel, nugget_type),
+                lambda raw: gp_nlp(raw, d, kernel, nugget_type,
+                                   sparse_ladder=True),
                 x0,
                 maxiter=maxiter,
                 gtol=gtol,

@@ -148,8 +148,12 @@ def _prior_logp(data: GPData, raw, n_corr, nugget_type):
     )
 
 
-@partial(jax.jit, static_argnames=("kernel", "nugget_type", "reuse_factor"))
-def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True):
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "nugget_type", "reuse_factor", "sparse_ladder"),
+)
+def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
+           sparse_ladder=False):
     """Compute all fit-time artifacts for raw hyperparameters ``raw``.
 
     Implements ``GaussianProcess.fit`` (``GaussianProcess.py:629-685``):
@@ -169,7 +173,10 @@ def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True):
 
     m = jnp.dot(data.dm, data.mean_mean)
     K = sigma2 * kernel.kernel_f(data.inputs, data.inputs, corr_raw)
-    Kinv, nugget = cholesky_factor(K, nugget, nugget_type, reuse_factor=reuse_factor)
+    Kinv, nugget = cholesky_factor(
+        K, nugget, nugget_type,
+        reuse_factor=reuse_factor, sparse_ladder=sparse_ladder,
+    )
 
     # A = H^T K^-1 H + B^-1  (linalg_utils.py:5-40)
     from ..ops.cholesky import ChoFactor, fixed_cholesky
@@ -204,10 +211,13 @@ def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True):
     )
 
 
-def gp_nlp(raw, data: GPData, kernel, nugget_type, reuse_factor=True):
+def gp_nlp(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
+           sparse_ladder=False):
     """Negative log posterior (the MAP objective).  ``jax.grad`` of this
     replaces ``logpost_deriv`` (``GaussianProcess.py:711-782``)."""
-    return gp_fit(raw, data, kernel, nugget_type, reuse_factor).logpost
+    return gp_fit(
+        raw, data, kernel, nugget_type, reuse_factor, sparse_ladder
+    ).logpost
 
 
 @partial(

@@ -92,7 +92,14 @@ def squared_distance(x1, x2, exp_theta):
     z2 = x2 * scale
     sq1 = jnp.sum(z1 * z1, axis=-1)
     sq2 = jnp.sum(z2 * z2, axis=-1)
-    cross = jnp.dot(z1, z2.T, preferred_element_type=z1.dtype)
+    # full operand precision: with the TPU default (bf16 passes) the
+    # cancellation in ||z1||^2 + ||z2||^2 - 2 z1.z2 leaves ~2 digits,
+    # which destroys the kernel matrix conditioning downstream
+    cross = jnp.dot(
+        z1, z2.T,
+        preferred_element_type=z1.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     r2 = sq1[:, None] + sq2[None, :] - 2.0 * cross
     return jnp.maximum(r2, 0.0)
 

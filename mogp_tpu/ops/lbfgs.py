@@ -47,6 +47,7 @@ class _State(NamedTuple):
     n_hist: jnp.ndarray   # valid history entries
     f_best: jnp.ndarray   # best objective seen (stall detection)
     stall: jnp.ndarray    # iterations since a significant improvement
+    t_prev: jnp.ndarray   # last accepted step length (warm-started t0)
     it: jnp.ndarray
     done: jnp.ndarray
     converged: jnp.ndarray
@@ -136,16 +137,28 @@ def lbfgs_minimize(
         n_hist=jnp.zeros((), dtype=jnp.int32),
         f_best=f0,
         stall=jnp.zeros((), dtype=jnp.int32),
+        t_prev=jnp.ones((), dtype=dtype),
         it=jnp.zeros((), dtype=jnp.int32),
         done=bad_start,
         converged=jnp.array(False),
     )
 
-    def linesearch(x, f, g, d, t0):
-        """Backtracking line search for Armijo + weak Wolfe conditions.
+    def linesearch(x, f, g, d, t0, active):
+        """Backtracking (Armijo) line search with value-only trials.
 
-        Evaluates value-and-grad per trial so the accepted point's
-        gradient is reused for the curvature update.
+        Trials evaluate the objective WITHOUT its gradient (a forward
+        pass is ~3x cheaper than value-and-grad); the curvature pair for
+        the L-BFGS update comes from one value-and-grad at the accepted
+        point.  The Wolfe curvature condition is replaced by the
+        positive-curvature filter at history-store time, the standard
+        pairing for backtracking L-BFGS.
+
+        ``active`` short-circuits the search: under vmap the trial loop
+        runs to the MAX trial count over all lanes, and lanes that are
+        already done (converged/stalled/failed) sit at points where no
+        strict decrease exists, so without this flag they would drag
+        every batched iteration to ``max_linesearch`` objective
+        evaluations.
         """
         gd = jnp.dot(g, d)
 
@@ -154,30 +167,27 @@ def lbfgs_minimize(
             return jnp.logical_and(ls_it < max_linesearch, jnp.logical_not(accepted))
 
         def body(carry):
-            t, ls_it, accepted, xt, ft, gt = carry
+            t, ls_it, accepted, xt, ft, t_acc = carry
             x_new = x + t * d
-            f_new, g_new = value_and_grad(x_new)
+            f_new = fun(x_new)
             armijo = f_new <= f + c1 * t * gd
-            wolfe = jnp.dot(g_new, d) >= c2 * gd
-            ok = jnp.logical_and(
-                jnp.isfinite(f_new), jnp.logical_and(armijo, wolfe)
-            )
-            # also accept plain Armijo on the final allowed trial
-            ok = jnp.logical_or(
-                ok,
-                jnp.logical_and(
-                    jnp.isfinite(f_new),
-                    jnp.logical_and(armijo, ls_it == max_linesearch - 1),
-                ),
-            )
+            ok = jnp.logical_and(jnp.isfinite(f_new), armijo)
             xt = jnp.where(ok, x_new, xt)
             ft = jnp.where(ok, f_new, ft)
-            gt = jnp.where(ok, g_new, gt)
-            return (t * 0.5, ls_it + 1, ok, xt, ft, gt)
+            t_acc = jnp.where(ok, t, t_acc)
+            return (t * 0.5, ls_it + 1, ok, xt, ft, t_acc)
 
-        carry = (t0, jnp.zeros((), jnp.int32), jnp.array(False), x, f, g)
-        _, _, accepted, xt, ft, gt = lax.while_loop(cond, body, carry)
-        return accepted, xt, ft, gt
+        # inactive lanes start "accepted" so they never spin the loop;
+        # the outer update masks on the outer while predicate anyway
+        carry = (t0, jnp.zeros((), jnp.int32), jnp.logical_not(active), x, f, t0)
+        _, _, accepted, xt, ft, t_acc = lax.while_loop(cond, body, carry)
+        accepted = jnp.logical_and(accepted, active)
+        # one value-and-grad at the accepted point (recomputing ft keeps
+        # f and g consistent at xt; for rejected lanes xt == x and the
+        # result is discarded by the caller's where-masks)
+        ft2, gt = value_and_grad(xt)
+        ft = jnp.where(accepted, ft2, f)
+        return accepted, xt, ft, gt, t_acc
 
     def step(state):
         d = _two_loop(
@@ -190,16 +200,24 @@ def lbfgs_minimize(
         # with no curvature history the direction is the raw (unscaled)
         # gradient, whose magnitude can be enormous for badly-scaled
         # objectives; scale the first trial step to unit length
-        # (Nocedal & Wright's standard first-iteration step length)
+        # (Nocedal & Wright's standard first-iteration step length).
+        # Otherwise warm-start from twice the last accepted step, capped
+        # at the unit quasi-Newton step: lanes whose acceptable step has
+        # collapsed (endgame near the float32 rounding floor, or a badly
+        # scaled region) would otherwise re-descend the whole backtracking
+        # ladder from t=1 EVERY iteration -- and under vmap the batched
+        # trial loop runs to the max trial count over all lanes, so a few
+        # such lanes made every batched iteration cost ~max_linesearch
+        # objective evaluations.
         d_norm = jnp.linalg.norm(d)
         t0 = jnp.where(
             state.n_hist == 0,
             jnp.minimum(1.0, 1.0 / jnp.maximum(d_norm, 1e-30)),
-            jnp.ones((), dtype=dtype),
+            jnp.minimum(2.0 * state.t_prev, 1.0),
         ).astype(dtype)
 
-        accepted, x_new, f_new, g_new = linesearch(
-            state.x, state.f, state.g, d, t0
+        accepted, x_new, f_new, g_new, t_acc = linesearch(
+            state.x, state.f, state.g, d, t0, jnp.logical_not(state.done)
         )
 
         s = x_new - state.x
@@ -247,6 +265,7 @@ def lbfgs_minimize(
             S=S, Y=Y, rho=rho, gamma=gamma, n_hist=n_hist,
             f_best=f_best,
             stall=stall,
+            t_prev=jnp.where(accepted, t_acc, state.t_prev).astype(dtype),
             it=state.it + 1,
             done=done,
             converged=converged,
