@@ -24,10 +24,12 @@ import numpy as np
 # persistent compile cache: the batched-fit program is large; caching it
 # across runs keeps the bench dominated by execution, not compilation
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
-# small per-program lane count: compiles in seconds (the 240-lane program
-# takes minutes through the remote-compile service) and measured
-# throughput per lane is as good or better at this size
-os.environ.setdefault("MOGP_TPU_MAX_FIT_LANES", "60")
+# per-program lane count: measured per-lane eval cost on a v5e core is
+# ~2x better at 240 lanes than at 60 (287 vs 570 us/lane for a batched
+# value-and-grad); the 240-lane program compiles in ~1-2 min via the
+# remote-compile service, paid once in the (untimed) warmup and then
+# served by the persistent compile cache
+os.environ.setdefault("MOGP_TPU_MAX_FIT_LANES", "240")
 
 N_POINTS = 210
 N_DIM = 14
