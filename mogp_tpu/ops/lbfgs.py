@@ -176,7 +176,13 @@ def lbfgs_minimize(
             x_new = x + t * d
             f_new, g_new = value_and_grad(x_new)
             armijo = f_new <= f + c1 * t * gd
-            ok = jnp.logical_and(jnp.isfinite(f_new), armijo)
+            # accept only fully finite trials: a finite objective with a
+            # NaN/Inf gradient (near-singular Cholesky pullback) would
+            # poison the next direction and the curvature pair
+            finite = jnp.logical_and(
+                jnp.isfinite(f_new), jnp.all(jnp.isfinite(g_new))
+            )
+            ok = jnp.logical_and(finite, armijo)
             xt = jnp.where(ok, x_new, xt)
             ft = jnp.where(ok, f_new, ft)
             gt = jnp.where(ok, g_new, gt)
@@ -189,8 +195,10 @@ def lbfgs_minimize(
             t0, jnp.zeros((), jnp.int32), jnp.logical_not(active), x, f, g, t0,
         )
         _, _, accepted, xt, ft, gt, t_acc = lax.while_loop(cond, body, carry)
+        # rejected lanes already carry (x, f, g) unchanged: the carry
+        # initializes the trial slots to the incumbent point and only
+        # overwrites them on acceptance
         accepted = jnp.logical_and(accepted, active)
-        ft = jnp.where(accepted, ft, f)
         return accepted, xt, ft, gt, t_acc
 
     def step(state):
