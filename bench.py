@@ -22,8 +22,11 @@ import time
 import numpy as np
 
 # persistent compile cache: the batched-fit program is large; caching it
-# across runs keeps the bench dominated by execution, not compilation
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# across runs keeps the bench dominated by execution, not compilation.
+# MOGP_TPU_COMPILE_CACHE is applied via jax.config.update at mogp_tpu
+# import (env-var-based JAX_COMPILATION_CACHE_DIR is a no-op here: the
+# axon sitecustomize imports jax before this script runs)
+os.environ.setdefault("MOGP_TPU_COMPILE_CACHE", "/root/repo/.jax_cache")
 # per-program lane count: measured per-lane eval cost on a v5e core is
 # ~2x better at 240 lanes than at 60 (287 vs 570 us/lane for a batched
 # value-and-grad); the 240-lane program compiles in ~1-2 min via the

@@ -18,7 +18,32 @@ __all__ = [
     "default_dtype",
     "is_tpu",
     "use_pallas",
+    "enable_compile_cache",
 ]
+
+
+def enable_compile_cache(path=None):
+    """Enable JAX's persistent compilation cache at ``path``.
+
+    The batched-fit programs take minutes in the remote-compile service;
+    the persistent cache makes every run after the first load them in
+    seconds.  NOTE: ``JAX_COMPILATION_CACHE_DIR`` as an environment
+    variable is read when jax initializes its config -- in environments
+    that pre-import jax at interpreter start (sitecustomize), setting the
+    env var from user code is a silent no-op.  This helper goes through
+    ``jax.config.update`` so it works at any point.
+    """
+    path = path or os.environ.get("MOGP_TPU_COMPILE_CACHE")
+    if not path:
+        return
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # the fit programs are the ones worth caching, but cache everything:
+    # entries are content-addressed and small next to one fit executable
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+enable_compile_cache()
 
 
 def default_dtype():

@@ -33,17 +33,29 @@ __all__ = ["fit_GP_MAP"]
 _GP_KWARGS = ["mean", "kernel", "priors", "nugget", "inputdict", "use_patsy"]
 
 
+# Jitter-ladder resolution used for the optimizer's TRAJECTORY with
+# nugget="adaptive" (the final refit of the winning restart always uses
+# the exact reference ladder): "sparse" = 3 Cholesky candidates per
+# objective evaluation, "single" = 1 candidate (the 1e-6*mean-diag rung;
+# fastest -- points needing a larger jitter evaluate to NaN and are
+# rejected by the line search, like a skipped LinAlgError restart).
+_OPT_LADDER = {"sparse": True, "single": "single", "full": False}[
+    os.environ.get("MOGP_TPU_OPT_LADDER", "single")
+]
+
+
 @partial(
     jax.jit,
-    static_argnames=("kernel", "nugget_type", "maxiter", "gtol", "ftol"),
+    static_argnames=("kernel", "nugget_type", "maxiter", "gtol", "ftol", "ladder"),
 )
-def _batched_fit_single(starts, data, kernel, nugget_type, maxiter, gtol, ftol):
+def _batched_fit_single(starts, data, kernel, nugget_type, maxiter, gtol, ftol,
+                        ladder=_OPT_LADDER):
     """All restarts of one GP in a single XLA program (vmap over tries)."""
 
     def minimize_one(x0):
         return lbfgs_minimize(
             lambda raw: gp_nlp(raw, data, kernel, nugget_type,
-                               sparse_ladder=True),
+                               sparse_ladder=ladder),
             x0,
             maxiter=maxiter,
             gtol=gtol,
@@ -57,7 +69,8 @@ def _batched_fit_single(starts, data, kernel, nugget_type, maxiter, gtol, ftol):
     jax.jit,
     static_argnames=("kernel", "nugget_type", "maxiter", "gtol", "ftol"),
 )
-def _batched_fit_multi(starts, data, kernel, nugget_type, maxiter, gtol, ftol):
+def _batched_fit_multi(starts, data, kernel, nugget_type, maxiter, gtol, ftol,
+                       ladder=_OPT_LADDER):
     """(outputs x restarts) batched fit: the reference's process pool and
     restart loop collapsed into one doubly-vmapped program."""
 
@@ -65,7 +78,7 @@ def _batched_fit_multi(starts, data, kernel, nugget_type, maxiter, gtol, ftol):
         return jax.vmap(
             lambda x0: lbfgs_minimize(
                 lambda raw: gp_nlp(raw, d, kernel, nugget_type,
-                                   sparse_ladder=True),
+                                   sparse_ladder=ladder),
                 x0,
                 maxiter=maxiter,
                 gtol=gtol,
@@ -113,12 +126,41 @@ def _extract_opt_options(kwargs):
     ftol = kwargs.pop("ftol", None)
     gtol = None if gtol is None else float(gtol)
     ftol = None if ftol is None else float(ftol)
+    race = bool(kwargs.pop("race", True))
     kwargs.pop("processes", None)  # accepted for API parity; batching replaces it
     if kwargs:
         warnings.warn(
             "ignoring unsupported optimizer options: {}".format(sorted(kwargs))
         )
-    return maxiter, gtol, ftol
+    return maxiter, gtol, ftol, race
+
+
+def _race_plan(n_tries, maxiter, race):
+    """Two-phase restart tournament ("race") schedule.
+
+    The reference runs every restart to convergence and keeps the best
+    (``fitting.py:237-264``); in a lockstep batch that makes every lane
+    pay for the slowest restart that will mostly be thrown away.  The
+    race spends a short phase A on ALL restarts, then lets only the
+    top ``keep`` per output finish: with 15 restarts and keep=3 the
+    expensive long tail runs at 1/5 the lane count.  The winner still
+    satisfies the same convergence criteria on the same objective;
+    restarts are random starts, so which local optimum wins was never
+    deterministic to begin with.  Disable with ``race=False`` for the
+    strict all-restarts-full-budget schedule.
+
+    :returns: ``(phase_a_iters, keep, phase_b_iters)`` or ``None`` when
+              racing is off / not worthwhile.
+    """
+    if not race or n_tries < 4 or maxiter < 16:
+        return None
+    # phase lengths tuned on the tsunami-shape benchmark: a 12-iteration
+    # phase A mispredicted the final ranking on ~10/16 outputs (mean NLP
+    # regression +0.32); 16 iterations with the top quarter kept closes
+    # the gap while still racing the long tail at ~1/4 lane count
+    phase_a = max(12, maxiter // 3)
+    keep = max(2, -(-n_tries // 4))
+    return phase_a, keep, max(maxiter - phase_a, phase_a)
 
 
 def _check_method(method):
@@ -136,21 +178,32 @@ def _fit_single_GP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", **kwargs)
     n_tries = int(n_tries)
     assert n_tries > 0, "number of attempts must be positive"
     _check_method(method)
-    maxiter, gtol, ftol = _extract_opt_options(dict(kwargs))
+    maxiter, gtol, ftol, race = _extract_opt_options(dict(kwargs))
 
     starts = _gather_starts(gp, n_tries, theta0)
     dtype = gp._data.inputs.dtype
-    res = _batched_fit_single(
-        jnp.asarray(starts, dtype=dtype),
-        gp._data,
-        gp.kernel,
-        gp.nugget_type,
-        maxiter,
-        gtol,
-        ftol,
-    )
-    fun = np.asarray(res.fun, dtype=np.float64)
-    xs = np.asarray(res.x, dtype=np.float64)
+    plan = _race_plan(n_tries, maxiter, race)
+    if plan is None:
+        res = _batched_fit_single(
+            jnp.asarray(starts, dtype=dtype),
+            gp._data, gp.kernel, gp.nugget_type, maxiter, gtol, ftol,
+        )
+        fun = np.asarray(res.fun, dtype=np.float64)
+        xs = np.asarray(res.x, dtype=np.float64)
+    else:
+        phase_a, keep, phase_b = plan
+        res_a = _batched_fit_single(
+            jnp.asarray(starts, dtype=dtype),
+            gp._data, gp.kernel, gp.nugget_type, phase_a, gtol, ftol,
+        )
+        fun_a = np.asarray(res_a.fun, dtype=np.float64)
+        top = np.argsort(np.where(np.isfinite(fun_a), fun_a, np.inf))[:keep]
+        res = _batched_fit_single(
+            jnp.asarray(res_a.x, dtype=dtype)[top],
+            gp._data, gp.kernel, gp.nugget_type, phase_b, gtol, ftol,
+        )
+        fun = np.asarray(res.fun, dtype=np.float64)
+        xs = np.asarray(res.x, dtype=np.float64)
 
     finite = np.isfinite(fun)
     if not finite.any():
@@ -162,6 +215,46 @@ def _fit_single_GP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", **kwargs)
     return gp
 
 
+def _run_fit_chunked(ems, starts, kernel, nugget_type, maxiter, gtol, ftol,
+                     dtype, chunk=None):
+    """Run the doubly-vmapped fit over output chunks of <= _MAX_LANES lanes.
+
+    :param starts: (G, T, P) starting points.
+    :param chunk: outputs per compiled program; default sizes chunks to
+                  fill ``_MAX_LANES``.  The race passes phase A's chunk
+                  into phase B so both phases of every group size reuse
+                  the same two compiled programs (compiles of the big fit
+                  programs cost minutes in the remote-compile service).
+    :returns: ``(fun (G, T), xs (G, T, P))`` numpy arrays.
+    """
+    G, T, P = starts.shape
+    if chunk is None:
+        outputs_per_chunk = max(1, _MAX_LANES // max(T, 1))
+        n_chunks = -(-G // outputs_per_chunk)
+        chunk = -(-G // n_chunks)  # equalized chunk size
+    chunk = min(chunk, G)
+
+    fun = np.empty((G, T), dtype=np.float64)
+    xs = np.empty((G, T, P), dtype=np.float64)
+    for c0 in range(0, G, chunk):
+        sel = slice(c0, min(c0 + chunk, G))
+        pad = chunk - (sel.stop - sel.start)
+        idx_sel = list(range(sel.start, sel.stop)) + [sel.stop - 1] * pad
+        data_c = _stack_pytrees([ems[i]._data for i in idx_sel])
+        res = _batched_fit_multi(
+            jnp.asarray(starts[idx_sel], dtype=dtype),
+            data_c,
+            kernel,
+            nugget_type,
+            maxiter,
+            gtol,
+            ftol,
+        )
+        fun[sel] = np.asarray(res.fun, dtype=np.float64)[: sel.stop - sel.start]
+        xs[sel] = np.asarray(res.x, dtype=np.float64)[: sel.stop - sel.start]
+    return fun, xs
+
+
 def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, **kwargs):
     """Fit all outputs of a MultiOutputGP in batched groups
     (``fitting.py:273-338``)."""
@@ -169,7 +262,7 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
     n_tries = int(n_tries)
     assert n_tries > 0, "n_tries must be a positive integer"
     _check_method(method)
-    maxiter, gtol, ftol = _extract_opt_options(dict(kwargs))
+    maxiter, gtol, ftol, race = _extract_opt_options(dict(kwargs))
 
     # normalize theta0 into a per-emulator list (fitting.py:294-316)
     if theta0 is None:
@@ -209,34 +302,35 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
         starts = np.stack(
             [_gather_starts(em, n_tries, theta0[i]) for em, i in zip(ems, global_idx)]
         )  # (G, n_tries, P)
-
-        # chunk the outputs axis so one compiled program never exceeds
-        # _MAX_LANES concurrent minimizations (equal chunk sizes reuse the
-        # same compiled program across chunks)
         G = len(ems)
-        outputs_per_chunk = max(1, _MAX_LANES // max(n_tries, 1))
-        n_chunks = -(-G // outputs_per_chunk)
-        chunk = -(-G // n_chunks)  # equalized chunk size
 
-        fun = np.empty((G, n_tries), dtype=np.float64)
-        xs = np.empty((G, n_tries, starts.shape[-1]), dtype=np.float64)
-        for c0 in range(0, G, chunk):
-            sel = slice(c0, min(c0 + chunk, G))
-            pad = chunk - (sel.stop - sel.start)
-            idx_sel = list(range(sel.start, sel.stop)) + [sel.stop - 1] * pad
-            data_c = _stack_pytrees([ems[i]._data for i in idx_sel])
-            starts_c = starts[idx_sel]
-            res = _batched_fit_multi(
-                jnp.asarray(starts_c, dtype=dtype),
-                data_c,
-                em0.kernel,
-                em0.nugget_type,
-                maxiter,
-                gtol,
-                ftol,
+        # fixed chunk quantum shared by both race phases: every group size
+        # decomposes into the same compiled program shapes
+        chunk_q = max(1, _MAX_LANES // max(n_tries, 1))
+        chunk_q = -(-G // (-(-G // chunk_q)))  # equalized
+
+        plan = _race_plan(n_tries, maxiter, race)
+        if plan is None:
+            fun, xs = _run_fit_chunked(
+                ems, starts, em0.kernel, em0.nugget_type, maxiter, gtol, ftol,
+                dtype, chunk=chunk_q,
             )
-            fun[sel] = np.asarray(res.fun, dtype=np.float64)[: sel.stop - sel.start]
-            xs[sel] = np.asarray(res.x, dtype=np.float64)[: sel.stop - sel.start]
+        else:
+            phase_a, keep, phase_b = plan
+            fun_a, xs_a = _run_fit_chunked(
+                ems, starts, em0.kernel, em0.nugget_type, phase_a, gtol, ftol,
+                dtype, chunk=chunk_q,
+            )
+            # top `keep` restarts per output advance to the full-budget
+            # phase; non-finite restarts sort last
+            order = np.argsort(
+                np.where(np.isfinite(fun_a), fun_a, np.inf), axis=1
+            )[:, :keep]
+            starts_b = np.take_along_axis(xs_a, order[:, :, None], axis=1)
+            fun, xs = _run_fit_chunked(
+                ems, starts_b, em0.kernel, em0.nugget_type, phase_b, gtol,
+                ftol, dtype, chunk=chunk_q,
+            )
 
         best_raw = np.empty((G, starts.shape[-1]), dtype=np.float64)
         fit_rows = []
@@ -248,17 +342,21 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
                 idx = int(np.nanargmin(np.where(finite, fun[row], np.inf)))
                 best_raw[row] = xs[row, idx]
                 fit_rows.append(row)
-        if fit_rows:
-            data_g = _stack_pytrees([ems[r]._data for r in fit_rows])
+        # final exact-ladder refit, chunked on the same quantum as the fit
+        # so every group size reuses one compiled refit program
+        for r0 in range(0, len(fit_rows), chunk_q):
+            rows = fit_rows[r0 : r0 + chunk_q]
+            rows_pad = rows + [rows[-1]] * (chunk_q - len(rows))
+            data_g = _stack_pytrees([ems[r]._data for r in rows_pad])
             arts = jax.device_get(
                 _batched_refit(
-                    jnp.asarray(best_raw[fit_rows], dtype=dtype),
+                    jnp.asarray(best_raw[rows_pad], dtype=dtype),
                     data_g,
                     em0.kernel,
                     em0.nugget_type,
                 )
             )
-            for k, row in enumerate(fit_rows):
+            for k, row in enumerate(rows):
                 ems[row]._set_fit_artifacts(
                     best_raw[row],
                     jax.tree_util.tree_map(lambda x: x[k], arts),
@@ -284,6 +382,17 @@ def fit_GP_MAP(
     sampled from the priors) and keeps the best finite result.  All
     restarts -- and for multi-output fitting, all outputs -- run
     batched on device in a single XLA program.
+
+    Additional optimizer options via ``**kwargs``: ``maxiter`` (default
+    200), ``gtol``/``ftol`` (dtype-scaled defaults), and ``race``
+    (default True) -- a two-phase restart tournament where every restart
+    runs a short phase A and only the best few per output get the full
+    budget (see ``_race_plan``); pass ``race=False`` for the reference's
+    strict all-restarts-full-budget schedule.  With ``nugget="adaptive"``
+    the optimizer trajectory uses a reduced jitter ladder selected by
+    ``MOGP_TPU_OPT_LADDER`` ("single" default / "sparse" / "full"); the
+    final refit of each winner always uses the exact reference ladder
+    (``linalg/cholesky.py:234-281``).
     """
     if len(args) == 1:
         gp = args[0]

@@ -178,20 +178,33 @@ def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
         reuse_factor=reuse_factor, sparse_ladder=sparse_ladder,
     )
 
-    # A = H^T K^-1 H + B^-1  (linalg_utils.py:5-40)
     from ..ops.cholesky import ChoFactor, fixed_cholesky
 
-    A = jnp.dot(data.dm.T, Kinv.solve(data.dm)) + data.mean_inv_cov
+    # One stacked half-solve W = L^-1 [H | (y - m)] provides everything
+    # the marginalized-mean math needs: triangular solves are
+    # latency-bound on TPU, so the reference's three separate K^-1 solves
+    # (A build, Kinv_t, Kinv_t_mean -- GaussianProcess.py:655-672) become
+    # a single lower sweep here (plus one upper sweep for the prediction
+    # artifacts below).
+    rhs = jnp.concatenate([data.dm, (data.targets - m)[:, None]], axis=1)
+    W = Kinv.solve_L(rhs)
+    Wh, alpha = W[:, :-1], W[:, -1]
+
+    # A = H^T K^-1 H + B^-1 = Wh^T Wh + B^-1  (linalg_utils.py:5-40)
+    A = jnp.dot(Wh.T, Wh) + data.mean_inv_cov
     Ainv = ChoFactor(fixed_cholesky(A))
 
-    Kinv_t = Kinv.solve(data.targets - m)
-    H_Kinv_t = jnp.dot(data.dm.T, Kinv_t)
-
+    H_Kinv_t = jnp.dot(Wh.T, alpha)
     mean = Ainv.solve(H_Kinv_t + data.mean_inv_cov_b)
-    Kinv_t_mean = Kinv.solve(data.targets - jnp.dot(data.dm, mean))
+
+    # complete the full solves (upper sweep) for the prediction artifacts;
+    # Kinv_t_mean = K^-1 (y - H mean) = Kinv_t + (K^-1 H)(b - mean)
+    full = Kinv.solve_from_half(W)
+    Kinv_dm, Kinv_t = full[:, :-1], full[:, -1]
+    Kinv_t_mean = Kinv_t + jnp.dot(Kinv_dm, data.mean_mean - mean)
 
     logpost = 0.5 * (
-        jnp.dot(data.targets - m, Kinv_t)
+        jnp.dot(alpha, alpha)
         - jnp.dot(H_Kinv_t, Ainv.solve(H_Kinv_t))
         + Kinv.logdet()
         + Ainv.logdet()
@@ -214,10 +227,52 @@ def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
 def gp_nlp(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
            sparse_ladder=False):
     """Negative log posterior (the MAP objective).  ``jax.grad`` of this
-    replaces ``logpost_deriv`` (``GaussianProcess.py:711-782``)."""
-    return gp_fit(
-        raw, data, kernel, nugget_type, reuse_factor, sparse_ladder
-    ).logpost
+    replaces ``logpost_deriv`` (``GaussianProcess.py:711-782``).
+
+    Lean evaluation for the optimizer hot loop: everything follows from
+    ONE lower-triangular half-solve with the stacked RHS ``[H | y - m]``
+    -- no upper sweeps, no prediction artifacts.  (XLA's dead-code
+    elimination would strip most of ``gp_fit`` anyway; writing the lean
+    form explicitly keeps the traced program -- and compile time -- small
+    under the vmapped/while-looped optimizer.)
+    """
+    n_corr = kernel.get_n_params(data.inputs)
+    corr_raw = raw[:n_corr]
+    sigma2 = jnp.exp(raw[n_corr])
+
+    if nugget_type == "fit":
+        nugget = jnp.exp(raw[-1])
+    elif nugget_type == "fixed":
+        nugget = data.fixed_nugget
+    else:
+        nugget = jnp.zeros((), dtype=data.inputs.dtype)
+
+    m = jnp.dot(data.dm, data.mean_mean)
+    K = sigma2 * kernel.kernel_f(data.inputs, data.inputs, corr_raw)
+    Kinv, nugget = cholesky_factor(
+        K, nugget, nugget_type,
+        reuse_factor=reuse_factor, sparse_ladder=sparse_ladder,
+    )
+
+    from ..ops.cholesky import ChoFactor, fixed_cholesky
+
+    rhs = jnp.concatenate([data.dm, (data.targets - m)[:, None]], axis=1)
+    W = Kinv.solve_L(rhs)
+    Wh, alpha = W[:, :-1], W[:, -1]
+
+    A = jnp.dot(Wh.T, Wh) + data.mean_inv_cov
+    Ainv = ChoFactor(fixed_cholesky(A))
+    H_Kinv_t = jnp.dot(Wh.T, alpha)
+
+    logpost = 0.5 * (
+        jnp.dot(alpha, alpha)
+        - jnp.dot(H_Kinv_t, Ainv.solve(H_Kinv_t))
+        + Kinv.logdet()
+        + Ainv.logdet()
+        + data.mean_logdet_cov
+        + data.n_coeff * jnp.log(2.0 * jnp.pi)
+    )
+    return logpost - _prior_logp(data, raw, n_corr, nugget_type)
 
 
 @partial(

@@ -69,6 +69,17 @@ class ChoFactor(NamedTuple):
             return jnp.zeros_like(b)
         return solve_triangular(self.L, b, lower=True)
 
+    def solve_from_half(self, w):
+        """Complete a full solve from a half-solve: given ``w = solve_L(b)``,
+        return ``solve(b)``.  Lets callers batch several right-hand sides
+        into ONE stacked triangular solve and finish them together --
+        triangular solves are latency-bound on TPU, so collapsing the
+        2-per-RHS sweeps of repeated ``solve`` calls into one lower+one
+        upper sweep over a stacked RHS is a large win in the hot path."""
+        if self.L.shape[0] == 0:
+            return jnp.zeros_like(w)
+        return solve_triangular(self.L.T, w, lower=False)
+
     def logdet(self):
         """``log det A = 2 sum log diag L`` (``cholesky.py:67``)."""
         if self.L.shape[0] == 0:
@@ -105,6 +116,12 @@ class PivotedChoFactor(NamedTuple):
         """Permuted triangular solve (``cholesky.py:135-165``)."""
         return self._mask(solve_triangular(self.L, b[self.P], lower=True))
 
+    def solve_from_half(self, w):
+        """Complete a full solve from ``w = solve_L(b)`` (see ``ChoFactor``):
+        upper sweep + inverse permutation, rank masking already in ``w``."""
+        x = solve_triangular(self.L.T, w, lower=False)
+        return x[jnp.argsort(self.P)]
+
     def logdet(self):
         return 2.0 * jnp.sum(jnp.log(jnp.diag(self.L)))
 
@@ -138,7 +155,17 @@ def jit_cholesky(A, maxtries=5, reuse_factor=True, sparse_ladder=False):
     n = A.shape[0]
     eye = jnp.eye(n, dtype=A.dtype)
 
-    if sparse_ladder:
+    if sparse_ladder == "single":
+        # leanest optimization-phase path: ONE candidate, the reference
+        # ladder's first nonzero rung 1e-6*mean(diag).  Saves two of the
+        # three factorizations of the sparse ladder per objective
+        # evaluation; points where even this jitter fails evaluate to NaN
+        # and are rejected by the line search (the batched analogue of a
+        # skipped LinAlgError restart, fitting.py:252-255).  Only the
+        # optimizer's trajectory sees this; the final refit uses the
+        # exact reference ladder.
+        jitters = mean_diag * jnp.asarray([1e-6], dtype=A.dtype)
+    elif sparse_ladder:
         # optimization-phase fast path: 3 candidates {0, 1e-6, 1e-2}*d
         # instead of the reference's 6-step ladder.  The candidate batch
         # is the dominant cost of every batched MAP objective evaluation

@@ -144,7 +144,8 @@ def lbfgs_minimize(
     )
 
     def linesearch(x, f, g, d, t0, active):
-        """Backtracking (Armijo) line search with value-and-grad trials.
+        """Backtracking (Armijo) line search with value-and-grad trials
+        and safeguarded quadratic interpolation.
 
         Trials evaluate the objective WITH its gradient: for this
         framework's objectives the gradient is nearly free on top of the
@@ -158,12 +159,19 @@ def lbfgs_minimize(
         filter at history-store time, the standard pairing for
         backtracking L-BFGS.
 
-        ``active`` short-circuits the search: under vmap the trial loop
-        runs to the MAX trial count over all lanes, and lanes that are
-        already done (converged/stalled/failed) sit at points where no
-        strict decrease exists, so without this flag they would drag
-        every batched iteration to ``max_linesearch`` objective
-        evaluations.
+        On a rejected trial the next step length comes from the minimizer
+        of the quadratic through ``(f, gd, f_new)`` -- clamped to
+        ``[0.1 t, 0.5 t]`` -- instead of plain halving.  Under vmap the
+        trial loop costs every lane the MAX trial count over the batch
+        (one full batched objective per trial), so shaving the trial
+        ladder of the worst lane is a direct multiplier on batched fit
+        throughput; interpolation typically lands an overshot first trial
+        in one extra evaluation where halving needs several.
+
+        ``active`` short-circuits the search: lanes that are already done
+        (converged/stalled/failed) sit at points where no strict decrease
+        exists, so without this flag they would drag every batched
+        iteration to ``max_linesearch`` objective evaluations.
         """
         gd = jnp.dot(g, d)
 
@@ -187,7 +195,15 @@ def lbfgs_minimize(
             ft = jnp.where(ok, f_new, ft)
             gt = jnp.where(ok, g_new, gt)
             t_acc = jnp.where(ok, t, t_acc)
-            return (t * 0.5, ls_it + 1, ok, xt, ft, gt, t_acc)
+            # quadratic interpolation: minimizer of the parabola matching
+            # f(0)=f, f'(0)=gd, f(t)=f_new is t_q = -gd t^2 / (2 (f_new -
+            # f - gd t)); safeguard into [0.1 t, 0.5 t] and fall back to
+            # halving when the trial value is non-finite
+            denom = 2.0 * (f_new - f - gd * t)
+            t_q = -gd * t * t / jnp.where(denom == 0.0, 1.0, denom)
+            t_next = jnp.clip(t_q, 0.1 * t, 0.5 * t)
+            t_next = jnp.where(jnp.isfinite(f_new), t_next, 0.5 * t)
+            return (t_next, ls_it + 1, ok, xt, ft, gt, t_acc)
 
         # inactive lanes start "accepted" so they never spin the loop;
         # the outer update masks on the outer while predicate anyway
