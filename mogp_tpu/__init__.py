@@ -54,6 +54,16 @@ from .uq.history_matching import HistoryMatching
 from .uq.dimension_reduction import gKDR
 from .uq import validation
 
+# beyond the reference: full hyperparameter-posterior inference and
+# posterior-predictive utilities (BASELINE north star)
+from .models.inference import (
+    fit_GP_VI,
+    predict_MCMC,
+    sample_GP_MCMC,
+    sample_MOGP_MCMC,
+)
+from .uq.smc import smc_history_match
+
 __all__ = [
     "ExperimentalDesign",
     "MonteCarloDesign",
@@ -78,4 +88,9 @@ __all__ = [
     "fit_GP_MAP",
     "MultiOutputGP",
     "MeanFunction",
+    "fit_GP_VI",
+    "predict_MCMC",
+    "sample_GP_MCMC",
+    "sample_MOGP_MCMC",
+    "smc_history_match",
 ]

@@ -90,6 +90,10 @@ class FitArtifacts(NamedTuple):
     Ainv: object              # ChoFactor of A = H^T K^-1 H + B^-1
     mean: jnp.ndarray         # analytic mean coefficients beta_hat (M,)
     Kinv_t_mean: jnp.ndarray  # K^-1 (y - H beta_hat)  (n,)
+    Kinv_dm: jnp.ndarray      # K^-1 H  (n, M); lets predict build the
+                              # R-correction with a matmul instead of a
+                              # triangular solve (K symmetric:
+                              # H^T K^-1 K* = (K^-1 H)^T K*)
     nugget: jnp.ndarray       # realized nugget (adaptive jitter / fit / fixed)
     logpost: jnp.ndarray      # negative log posterior (scalar)
 
@@ -219,6 +223,7 @@ def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
         Ainv=Ainv,
         mean=mean,
         Kinv_t_mean=Kinv_t_mean,
+        Kinv_dm=Kinv_dm,
         nugget=nugget,
         logpost=logpost,
     )
@@ -310,8 +315,13 @@ def gp_predict(
     if not unc:
         return mu, None
 
-    Kinv_Ktest = artifacts.Kinv.solve(Ktest)
-    R = dmtest.T - jnp.dot(data.dm.T, Kinv_Ktest)  # (M, m)
+    # R = H*^T - H^T K^-1 K* (linalg_utils.py:132-167) via the stored
+    # K^-1 H and symmetry of K: one MXU matmul, no triangular solve.
+    # The quadratic forms use half-solves (one lower sweep each) instead
+    # of full solves -- triangular solves are the latency-bound op here.
+    R = dmtest.T - jnp.dot(artifacts.Kinv_dm.T, Ktest)  # (M, m)
+    Linv_Ktest = artifacts.Kinv.solve_L(Ktest)
+    LAinv_R = artifacts.Ainv.solve_L(R)
 
     if full_cov:
         sigma_2 = sigma2 * kernel.kernel_f(testing, testing, corr_raw)
@@ -319,8 +329,6 @@ def gp_predict(
             sigma_2 = sigma_2 + jnp.eye(
                 testing.shape[0], dtype=sigma_2.dtype
             ) * artifacts.nugget
-        Linv_Ktest = artifacts.Kinv.solve_L(Ktest)
-        LAinv_R = artifacts.Ainv.solve_L(R)
         var = (
             sigma_2
             - jnp.dot(Linv_Ktest.T, Linv_Ktest)
@@ -332,8 +340,8 @@ def gp_predict(
             sigma_2 = sigma_2 + artifacts.nugget
         var = jnp.maximum(
             sigma_2
-            - jnp.sum(Ktest * Kinv_Ktest, axis=0)
-            + jnp.sum(R * artifacts.Ainv.solve(R), axis=0),
+            - jnp.sum(Linv_Ktest**2, axis=0)
+            + jnp.sum(LAinv_R**2, axis=0),
             0.0,
         )
     return mu, var

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.hmc import sample_nuts
+from .fitting import _OPT_LADDER
 from .gp import GaussianProcess, gp_fit, gp_nlp, gp_predict
 
 __all__ = [
@@ -160,7 +161,13 @@ def sample_GP_MCMC(
     nugget_type = gp.nugget_type
 
     def potential(raw):
-        return gp_nlp(raw, data, kernel, nugget_type)
+        # trajectory evaluations use the reduced jitter ladder (see
+        # fitting._OPT_LADDER): with nugget="adaptive" a data-dependent
+        # ladder would make the target density discontinuous in raw; the
+        # single fixed 1e-6*mean-diag rung is both ~3x cheaper per
+        # leapfrog step and a smooth, well-defined posterior
+        return gp_nlp(raw, data, kernel, nugget_type,
+                      sparse_ladder=_OPT_LADDER)
 
     key = jax.random.PRNGKey(seed)
     key_init, key_run = jax.random.split(key)
@@ -280,7 +287,8 @@ def sample_MOGP_MCMC(
 
     def one_output(data, q0_chains, keys):
         def potential(raw):
-            return gp_nlp(raw, data, kernel, nugget_type)
+            return gp_nlp(raw, data, kernel, nugget_type,
+                          sparse_ladder=_OPT_LADDER)
 
         return jax.vmap(
             lambda q, k: sample_nuts(
@@ -344,7 +352,8 @@ def fit_GP_VI(
         eps = jax.random.normal(key, (n_mc, P), dtype=dtype)
         zs = mu + jnp.exp(log_std) * eps
         nlps = jax.vmap(
-            lambda z: gp_nlp(z, data, kernel, nugget_type)
+            lambda z: gp_nlp(z, data, kernel, nugget_type,
+                             sparse_ladder=_OPT_LADDER)
         )(zs)
         # replace non-finite draws with a large penalty (failed Cholesky)
         nlps = jnp.where(jnp.isfinite(nlps), nlps, 1e10)
