@@ -1,225 +1,257 @@
 """String-formula parser producing mean-function ASTs.
 
-Parity re-implementation of ``mogp_emulator/formula.py``: tokenizer
-(``formula.py:279-354``) -> shunting-yard infix-to-RPN conversion
-(``formula.py:354-419``) -> RPN evaluation to ``MeanBase`` trees
-(``formula.py:420-495``).  Conventions: numeric literals become
-``ConstantMean``, ``x[i]`` / ``inputs[i]`` become ``LinearMean(i)``, any
-other identifier becomes a free ``Coefficient``; ``I(...)`` is the
-identity; ``+ * ^`` (also ``**``) and function-call composition are the
-operators.  Patsy is not used -- the native parser covers the same
-surface (``mean_from_patsy_formula`` is an alias).
+Covers the formula surface of the reference (``mogp_emulator/formula.py``:
+``mean_from_string`` at :87, ``mean_from_patsy_formula`` at :8) with an
+independent design: a regex lexer feeding a recursive-descent parser that
+builds the ``MeanBase`` tree directly from the grammar
+
+    formula := [IDENT ('=' | '~')] expr
+    expr    := term ('+' term)*
+    term    := unary ('*' unary)*
+    unary   := power
+    power   := postfix ('^' power)?          # right-associative
+    postfix := atom ('(' expr ')')*          # call composition
+    atom    := NUMBER | IDENT | '(' expr ')'
+
+Semantics match the reference's conventions: numeric literals become
+:class:`~.meanfunction.ConstantMean`, ``x[i]`` / ``inputs[i]`` become
+:class:`~.meanfunction.LinearMean`, names found in ``inputdict`` map to the
+indicated input dimension, and any other identifier becomes a free
+:class:`~.meanfunction.Coefficient`.  ``I(...)`` is the identity wrapper and
+is only legal in call position.  Patsy is not used at runtime; the native
+parser covers the same formula strings (``mean_from_patsy_formula`` is an
+alias).
 """
+
+import re
 
 from . import meanfunction as MeanFunction
 
 __all__ = ["mean_from_string", "mean_from_patsy_formula"]
 
+# Token kinds. '**' must be matched before '*'; an identifier may carry one
+# (non-nested) square-bracket index, e.g. x[0] or inputs[12].
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<NUMBER>  \d+\.\d*(?:[eE][+-]?\d+)? | \.\d+(?:[eE][+-]?\d+)? | \d+(?:[eE][+-]?\d+)? )
+  | (?P<IDENT>   [A-Za-z_][A-Za-z_0-9.]* (?:\[\s*[^][()+*^=~\s]*\s*\])? )
+  | (?P<POW>     \*\* | \^ )
+  | (?P<STAR>    \* )
+  | (?P<PLUS>    \+ )
+  | (?P<LPAREN>  [(] )
+  | (?P<RPAREN>  [)] )
+  | (?P<ASSIGN>  [=~] )
+  | (?P<WS>      \s+ )
+  | (?P<BAD>     . )
+    """,
+    re.VERBOSE,
+)
+
+
+def _lex(formula):
+    """Yield ``(kind, text)`` token pairs for a formula string."""
+    out = []
+    for m in _TOKEN_RE.finditer(formula):
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        text = m.group()
+        if kind == "BAD":
+            if text in "[]":
+                raise SyntaxError(
+                    "square brackets may only index a variable name in formula input"
+                )
+            raise SyntaxError(
+                "unrecognized character {!r} in formula input".format(text)
+            )
+        if kind == "IDENT":
+            if "[" in text and not text.endswith("]"):
+                raise SyntaxError(
+                    "square brackets may only index a variable name in formula input"
+                )
+            if text == "call":
+                raise SyntaxError(
+                    "'call' cannot be used as a variable name in formula input"
+                )
+        out.append((kind, text))
+    return out
+
+
+class _Parser:
+    """Recursive-descent parser over the lexed token stream."""
+
+    def __init__(self, tokens, inputdict):
+        self.tokens = tokens
+        self.pos = 0
+        self.inputdict = dict(inputdict)
+
+    def peek(self):
+        if self.pos < len(self.tokens):
+            return self.tokens[self.pos]
+        return (None, None)
+
+    def advance(self):
+        tok = self.peek()
+        self.pos += 1
+        return tok
+
+    def expect(self, kind, what):
+        k, text = self.advance()
+        if k != kind:
+            raise SyntaxError(what)
+        return text
+
+    # grammar rules ------------------------------------------------------
+
+    def parse(self):
+        # optional response name: "y = expr" / "y ~ expr"
+        if (
+            len(self.tokens) >= 2
+            and self.tokens[0][0] == "IDENT"
+            and self.tokens[1][0] == "ASSIGN"
+        ):
+            self.pos = 2
+        node = self.expr()
+        if self.pos != len(self.tokens):
+            k, text = self.peek()
+            if k == "ASSIGN":
+                raise SyntaxError("LHS in formula is not correctly specified")
+            raise SyntaxError(
+                "unexpected token {!r} in formula input".format(text)
+            )
+        return node
+
+    def expr(self):
+        node = self.term()
+        while self.peek()[0] == "PLUS":
+            self.advance()
+            node = _no_identity(node) + _no_identity(self.term())
+        return node
+
+    def term(self):
+        node = self.power()
+        while self.peek()[0] == "STAR":
+            self.advance()
+            node = _no_identity(node) * _no_identity(self.power())
+        return node
+
+    def power(self):
+        base = self.postfix()
+        if self.peek()[0] == "POW":
+            self.advance()
+            return _no_identity(base) ** _no_identity(self.power())
+        return base
+
+    def postfix(self):
+        node = self.atom()
+        while self.peek()[0] == "LPAREN":
+            self.advance()
+            arg = self.expr()
+            self.expect("RPAREN", "string expression has mismatched parentheses")
+            if arg is _IDENTITY:
+                raise SyntaxError(
+                    "identity operator can only be called as a function"
+                )
+            node = arg if node is _IDENTITY else node(arg)
+        return node
+
+    def atom(self):
+        kind, text = self.advance()
+        if kind == "NUMBER":
+            return MeanFunction.ConstantMean(float(text))
+        if kind == "IDENT":
+            return self.resolve_name(text)
+        if kind == "LPAREN":
+            node = self.expr()
+            self.expect("RPAREN", "string expression has mismatched parentheses")
+            if node is _IDENTITY:
+                raise SyntaxError(
+                    "identity operator can only be called as a function"
+                )
+            return node
+        if kind == "RPAREN":
+            raise SyntaxError("string expression has mismatched parentheses")
+        raise SyntaxError(
+            "string expression is not a valid mathematical expression"
+        )
+
+    def resolve_name(self, text):
+        """Map an identifier token to a mean-function leaf."""
+        if text == "I":
+            # identity — legal only as a call head; postfix() unwraps it
+            return _IDENTITY
+        name, index = _split_index(text)
+        if name == "inputs":
+            name = "x"
+        if name in self.inputdict:
+            if index is not None:
+                raise SyntaxError(
+                    "cannot index a name that is already mapped in inputdict"
+                )
+            return MeanFunction.LinearMean(self.inputdict[name])
+        if name == "x":
+            if index is None:
+                raise ValueError("bad formula input in mean function")
+            return MeanFunction.LinearMean(index)
+        if index is not None:
+            raise ValueError("bad formula input in mean function")
+        return MeanFunction.Coefficient()
+
+
+class _Identity:
+    """Sentinel for the ``I`` identity operator (call position only)."""
+
+    def __repr__(self):  # pragma: no cover
+        return "I"
+
+
+_IDENTITY = _Identity()
+
+
+def _no_identity(node):
+    """Reject the identity sentinel outside call position."""
+    if node is _IDENTITY:
+        raise SyntaxError("identity operator can only be called as a function")
+    return node
+
+
+def _split_index(text):
+    """Split ``name[i]`` into ``(name, i)``; plain names give ``(name, None)``."""
+    if "[" not in text:
+        return text, None
+    name, _, rest = text.partition("[")
+    inner = rest[:-1].strip()
+    try:
+        index = int(inner)
+    except ValueError:
+        raise ValueError("index in parsed formula is not an integer")
+    if index < 0:
+        raise ValueError("index in formula parsing must be non-negative")
+    return name, index
+
 
 def mean_from_string(formula, inputdict={}):
-    """Create a mean function from a string formula (``formula.py:87-150``)."""
-    assert isinstance(formula, str)
-    tokens = _tokenize_string(formula)
-    eval_stack = _parse_tokens(tokens)
-    mf = _eval_parsed_tokens(eval_stack, inputdict)
+    """Create a mean function from a string formula.
+
+    Parity with reference ``formula.py:87-150``: accepts an optional
+    ``y =`` / ``y ~`` response prefix, ``+``/``*``/``^`` (and ``**``)
+    operators, parentheses, and function-call composition.
+    """
+    if not isinstance(formula, str):
+        raise TypeError("formula must be a string")
+    tokens = _lex(formula)
+    if not tokens:
+        raise SyntaxError("formula input is empty")
+    mf = _Parser(tokens, inputdict).parse()
+    if mf is _IDENTITY:
+        raise SyntaxError("identity operator can only be called as a function")
     assert issubclass(type(mf), MeanFunction.MeanBase)
     return mf
 
 
 def mean_from_patsy_formula(formula, inputdict={}):
-    """Alias for ``mean_from_string`` (the native parser covers the patsy
-    surface used by the reference, ``formula.py:8-86``)."""
+    """Alias for :func:`mean_from_string`; the native parser covers the patsy
+    formula surface used by the reference (``formula.py:8-86``)."""
     if not isinstance(formula, str):
         raise TypeError("formula must be a string")
     return mean_from_string(formula, inputdict)
-
-
-def _convert_token(token, inputdict={}):
-    """Alias substitution (``formula.py:188-220``)."""
-    assert isinstance(token, str), "formula input to mean function is not a string"
-    if token[:6] == "inputs":
-        return "x" + token[6:]
-    if token in inputdict:
-        return "x[{}]".format(inputdict[token])
-    return token
-
-
-def _is_float(val):
-    try:
-        float(val)
-    except ValueError:
-        return False
-    return True
-
-
-def _token_to_mean(token, inputdict={}):
-    """Token -> mean-function object (``formula.py:228-277``)."""
-    assert isinstance(token, str), "formula input to mean function is not a string"
-    if _is_float(token):
-        return MeanFunction.ConstantMean(float(token))
-    token = _convert_token(token, inputdict)
-    if not token[0] == "x":
-        return MeanFunction.Coefficient()
-    if not (token[:2] == "x[" and token[-1] == "]"):
-        raise ValueError("bad formula input in mean function")
-    try:
-        index = int(token[2:-1])
-    except ValueError:
-        raise ValueError("index in parsed formula is not an integer")
-    assert index >= 0, "index in formula parsing must be non-negative"
-    return MeanFunction.LinearMean(index)
-
-
-def _tokenize_string(formula):
-    """Split a formula string into tokens (``formula.py:279-354``)."""
-    assert isinstance(formula, str)
-
-    token_list = []
-    accumulated = ""
-    for char in formula:
-        if char in ["(", ")", "+", "^", " ", "[", "]", "=", "~"]:
-            if accumulated != "":
-                token_list.append(accumulated)
-            token_list.append(char)
-            accumulated = ""
-        elif char == "*":
-            if accumulated == "*":
-                token_list.append("^")
-                accumulated = ""
-            elif accumulated != "":
-                token_list.append(accumulated)
-                accumulated = "*"
-            else:
-                accumulated = "*"
-        else:
-            if accumulated == "*":
-                token_list.append(accumulated)
-                accumulated = ""
-            accumulated += char
-    if accumulated != "":
-        token_list.append(accumulated)
-
-    outlist = []
-    for item in token_list:
-        if item not in [" ", "[", "]"]:
-            outlist.append(item)
-        elif item == "[":
-            outlist.append(outlist.pop() + item)
-        elif item == "]":
-            if len(outlist) < 2:
-                raise SyntaxError("error in using square brackets in formula input")
-            outlist.append(outlist.pop(-2) + outlist.pop() + item)
-
-    if outlist and outlist[0] == "y":
-        outlist.pop(0)
-    if outlist and outlist[0] in ["=", "~"]:
-        outlist.pop(0)
-
-    for item in outlist:
-        if ("[" in item) != ("]" in item):
-            raise SyntaxError(
-                "cannot nest operators in square brackets in formula input"
-            )
-        if item == "call":
-            raise SyntaxError(
-                "'call' cannot be used as a variable name in formula input"
-            )
-        if item in ["=", "~"]:
-            raise SyntaxError("LHS in formula is not correctly specified")
-    return outlist
-
-
-def _parse_tokens(token_list):
-    """Shunting-yard infix -> RPN (``formula.py:354-419``)."""
-    assert isinstance(token_list, list), "input must be a list of strings"
-
-    prev_op = True
-    operator_stack = []
-    output_list = []
-    precedence = {"+": 2, "*": 3, "^": 4}
-    l_assoc = {"+": True, "*": True, "^": False}
-
-    for token in token_list:
-        assert isinstance(token, str), "input must be a list of strings"
-        if token in ["=", "~"]:
-            raise SyntaxError("LHS in formula is not correctly specified")
-        if token not in ["(", ")", "+", "*", "^"]:
-            output_list.append(token)
-            prev_op = False
-        if token == "(" and not prev_op:
-            operator_stack.append("call")
-            prev_op = True
-        if token in ["+", "*", "^"]:
-            while (
-                len(operator_stack) >= 1
-                and operator_stack[-1] != "("
-                and (
-                    operator_stack[-1] == "call"
-                    or precedence[operator_stack[-1]] > precedence[token]
-                    or (
-                        precedence[operator_stack[-1]] == precedence[token]
-                        and l_assoc[token]
-                    )
-                )
-            ):
-                output_list.append(operator_stack.pop())
-            operator_stack.append(token)
-            prev_op = True
-        if token == "(":
-            operator_stack.append(token)
-            prev_op = True
-        if token == ")":
-            while operator_stack and operator_stack[-1] != "(":
-                output_list.append(operator_stack.pop())
-            if not operator_stack:
-                raise SyntaxError("string expression has mismatched parentheses")
-            operator_stack.pop()
-            prev_op = False
-
-    while operator_stack:
-        operator = operator_stack.pop()
-        if operator in ["(", ")"]:
-            raise SyntaxError("string expression has mismatched parentheses")
-        output_list.append(operator)
-    return output_list
-
-
-def _eval_parsed_tokens(token_list, inputdict={}):
-    """Evaluate the RPN token stream to a ``MeanBase``
-    (``formula.py:420-495``)."""
-    assert isinstance(token_list, list), "input must be a list of strings"
-
-    op_list = ["+", "*", "^", "call"]
-    stack = []
-
-    for token in token_list:
-        assert isinstance(token, str), "tokens must be strings"
-        if token in ["=", "~"]:
-            raise SyntaxError("LHS in formula is not correctly specified")
-        if token not in op_list:
-            stack.append("I" if token == "I" else _token_to_mean(token, inputdict))
-            continue
-
-        if len(stack) < 2:
-            raise SyntaxError(
-                "string expression is not a valid mathematical expression"
-            )
-        op_2 = stack.pop()
-        if op_2 == "I":
-            raise SyntaxError("identity operator can only be called as a function")
-        op_1 = stack.pop()
-        if token != "call" and op_1 == "I":
-            raise SyntaxError("identity operator can only be called as a function")
-
-        if token == "+":
-            stack.append(op_1 + op_2)
-        elif token == "*":
-            stack.append(op_1 * op_2)
-        elif token == "^":
-            stack.append(op_1**op_2)
-        elif token == "call":
-            stack.append(op_2 if op_1 == "I" else op_1(op_2))
-
-    if len(stack) != 1:
-        raise SyntaxError("string expression is not a valid mathematical expression")
-    return stack[0]

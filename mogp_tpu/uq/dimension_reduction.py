@@ -154,41 +154,34 @@ class gKDR:
             maxK = M
         assert 1 <= maxK <= M
 
-        def compute_loss(*params):
-            return gKDR._compute_loss(
-                X, Y, train_model, cross_validation_folds, *params
-            )
+        # K ladder: 1, 2, 4, ... capped at maxK (the reference walks the
+        # same ladder with an inline doubling loop, DimensionReduction.py:421-449)
+        k_ladder = []
+        k = 1
+        while k < maxK:
+            k_ladder.append(k)
+            k *= 2
+        k_ladder.append(maxK)
 
-        min_loss = np.inf
-        argmin_loss = None
+        min_loss, argmin_loss = np.inf, None
         for cX in cXs:
             for cY in cYs:
-                loss = np.inf
-                params = None
-                k = 1
-                while k <= maxK:
-                    old_params, params = params, (k, cX, cY)
-                    old_loss, loss = loss, compute_loss(*params)
+                prev_loss = np.inf
+                for k in k_ladder:
+                    loss = gKDR._compute_loss(
+                        X, Y, train_model, cross_validation_folds, k, cX, cY
+                    )
                     if verbose:
                         print(
                             "loss(K={}, X_scale={}, Y_scale={}) = {}".format(
-                                *params, loss
+                                k, cX, cY, loss
                             )
                         )
-                    if old_loss < loss:
-                        if old_loss < min_loss:
-                            min_loss = old_loss
-                            argmin_loss = old_params
-                        break
-                    elif k == maxK:
-                        if loss < min_loss:
-                            min_loss = loss
-                            argmin_loss = params
-                        break
-                    elif 2 * k > maxK:
-                        k = maxK
-                    else:
-                        k *= 2
+                    if loss < min_loss:
+                        min_loss, argmin_loss = loss, (k, cX, cY)
+                    if loss > prev_loss:
+                        break  # loss rising along the K ladder: stop early
+                    prev_loss = loss
 
         dr = gKDR(X, Y, *argmin_loss)
         return (dr, min_loss)

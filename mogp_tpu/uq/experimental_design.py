@@ -30,6 +30,63 @@ __all__ = [
 ]
 
 
+def _as_count(value):
+    """Interpret ``value`` as a parameter count, or return ``None``."""
+    if isinstance(value, bool) or isinstance(value, str):
+        return None
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        return None
+
+
+def _as_list(value):
+    """Materialize a non-string sequence as a list, or return ``None``."""
+    if isinstance(value, str):
+        return None
+    try:
+        return list(value)
+    except TypeError:
+        return None
+
+
+def _is_bounds_pair(seq):
+    """True when ``seq`` is two scalars, i.e. a ``(lo, hi)`` bounds pair."""
+    if len(seq) != 2:
+        return False
+    for v in seq:
+        if callable(v) or _as_list(v) is not None:
+            return False
+        try:
+            float(v)
+        except (TypeError, ValueError):
+            return False
+    return True
+
+
+def _spec_to_ppf(spec):
+    """Convert one parameter spec to a PPF callable.
+
+    ``None`` -> uniform [0, 1]; ``(lo, hi)`` -> uniform [lo, hi] (requires
+    ``lo < hi``); a callable must take exactly one argument.
+    """
+    if spec is None:
+        return scipy.stats.uniform(loc=0.0, scale=1.0).ppf
+    if callable(spec):
+        if len(signature(spec).parameters) != 1:
+            raise ValueError(
+                "PPF distribution provided must accept a single argument"
+            )
+        return spec
+    seq = _as_list(spec)
+    if seq is None or not _is_bounds_pair(seq):
+        raise TypeError("bounds for each parameter must be a tuple of two floats")
+    lo, hi = float(seq[0]), float(seq[1])
+    if hi <= lo:
+        raise ValueError("bad value for parameter bounds in ExperimentalDesign")
+    return scipy.stats.uniform(loc=lo, scale=hi - lo).ppf
+
+
 class ExperimentalDesign:
     """Base one-shot design with uncorrelated parameters
     (``ExperimentalDesign.py:6-295``).
@@ -40,107 +97,57 @@ class ExperimentalDesign:
     """
 
     def __init__(self, *args):
-        if len(args) == 1:
-            try:
-                n_parameters = int(args[0])
-                bounds = None
-            except TypeError:
-                try:
-                    n_parameters = len(list(args[0]))
-                    bounds = list(args[0])
-                except TypeError:
-                    raise TypeError("bad input type for ExperimentalDesign")
-        elif len(args) == 2:
-            try:
-                n_parameters = int(args[0])
-            except TypeError:
-                raise TypeError("bad input type for ExperimentalDesign")
-            if callable(args[1]):
-                bounds = args[1]
-            else:
-                try:
-                    bounds = list(args[1])
-                    try:
-                        if (
-                            len(bounds) == 2
-                            and isinstance(float(bounds[0]), float)
-                            and isinstance(float(bounds[1]), float)
-                        ):
-                            if float(bounds[1]) <= float(bounds[0]):
-                                raise ValueError(
-                                    "bad value for parameter bounds in "
-                                    "ExperimentalDesign"
-                                )
-                            bounds = (float(bounds[0]), float(bounds[1]))
-                    except TypeError:
-                        pass
-                except TypeError:
-                    raise TypeError("bad input type for ExperimentalDesign")
-        else:
+        """Accepts the reference's five input conventions
+        (``ExperimentalDesign.py:32-188``) via a normalize-then-convert
+        design: arguments are first reduced to a list of one spec per
+        parameter, then each spec is turned into a PPF by
+        :func:`_spec_to_ppf`.
+
+        Conventions: ``ED(n)``, ``ED(list_of_specs)``, ``ED(n, (lo, hi))``,
+        ``ED(n, ppf_callable)``, ``ED(n, list_of_specs)``; a spec is a
+        ``(lo, hi)`` pair, a single-argument PPF callable, or ``None``
+        (uniform on [0, 1]).
+        """
+        if not 1 <= len(args) <= 2:
             raise ValueError("bad inputs for ExperimentalDesign")
 
-        if n_parameters <= 0:
+        specs = self._normalize_args(args)
+        if len(specs) <= 0:
             raise ValueError(
                 "number of parameters must be positive in Experimental Design"
             )
-        self.n_parameters = n_parameters
+        self.n_parameters = len(specs)
+        self.distributions = [_spec_to_ppf(spec) for spec in specs]
 
-        if bounds is None:
-            self.distributions = [
-                scipy.stats.uniform(loc=0.0, scale=1.0).ppf
-            ] * n_parameters
-        elif isinstance(bounds, tuple):
-            self.distributions = [
-                scipy.stats.uniform(loc=bounds[0], scale=bounds[1] - bounds[0]).ppf
-            ] * n_parameters
-        elif callable(bounds):
-            if len(signature(bounds).parameters) == 1:
-                self.distributions = [bounds] * n_parameters
-            else:
-                raise ValueError(
-                    "PPF distribution provided must accept a single argument"
-                )
-        else:
-            if not len(bounds) == n_parameters:
-                raise ValueError(
-                    "list of parameter distributions must have the same length"
-                )
-            self.distributions = []
-            for item in bounds:
-                if callable(item):
-                    if len(signature(item).parameters) == 1:
-                        self.distributions.append(item)
-                    else:
-                        raise ValueError(
-                            "PPF distribution provided must accept a single argument"
-                        )
+    @staticmethod
+    def _normalize_args(args):
+        """Reduce constructor args to a per-parameter spec list."""
+        first = args[0]
+        if _as_count(first) is not None:
+            n = _as_count(first)
+            shared = args[1] if len(args) == 2 else None
+            if len(args) == 2 and not callable(shared):
+                # a 2-sequence of scalars is (lo, hi) shared bounds; any
+                # other sequence is a per-parameter spec list
+                seq = _as_list(shared)
+                if seq is None:
+                    raise TypeError("bad input type for ExperimentalDesign")
+                if _is_bounds_pair(seq):
+                    shared = (float(seq[0]), float(seq[1]))
                 else:
-                    try:
-                        if (
-                            len(item) == 2
-                            and isinstance(float(item[0]), float)
-                            and isinstance(float(item[1]), float)
-                        ):
-                            if float(item[1]) <= float(item[0]):
-                                raise ValueError(
-                                    "bad value for parameter bounds in "
-                                    "ExperimentalDesign"
-                                )
-                            self.distributions.append(
-                                scipy.stats.uniform(
-                                    loc=float(item[0]),
-                                    scale=float(item[1]) - float(item[0]),
-                                ).ppf
-                            )
-                        else:
-                            raise ValueError(
-                                "bounds for each parameter must be a tuple of "
-                                "two floats"
-                            )
-                    except TypeError:
-                        raise TypeError(
-                            "bounds for each parameter must be a tuple of two floats"
+                    if len(seq) != n:
+                        raise ValueError(
+                            "list of parameter distributions must have the "
+                            "same length"
                         )
+                    return seq
+            return [shared] * n
+        if len(args) == 2:
+            raise TypeError("bad input type for ExperimentalDesign")
+        seq = _as_list(first)
+        if seq is None:
+            raise TypeError("bad input type for ExperimentalDesign")
+        return seq
 
     def get_n_parameters(self):
         return self.n_parameters
