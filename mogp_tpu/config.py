@@ -19,6 +19,7 @@ __all__ = [
     "is_tpu",
     "use_pallas",
     "enable_compile_cache",
+    "blocked_chol_min_n",
 ]
 
 
@@ -61,6 +62,25 @@ def is_tpu() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except RuntimeError:  # pragma: no cover - no backend available
         return False
+
+
+def blocked_chol_min_n() -> int:
+    """Matrix size above which the recursive blocked Cholesky/TRSMs
+    (:mod:`mogp_tpu.ops.blocked`) replace the stock XLA kernels.
+
+    Only applies on TPU backends -- on CPU, XLA calls LAPACK directly,
+    which the blocked form cannot beat.  Override (including forcing the
+    blocked path on CPU for testing) with ``MOGP_TPU_BLOCKED_CHOL_MIN_N``;
+    0 or negative disables the blocked path entirely.
+    """
+    env = os.environ.get("MOGP_TPU_BLOCKED_CHOL_MIN_N")
+    if env is not None:
+        v = int(env)
+        return v if v > 0 else 1 << 62
+    # measured crossover on TPU v5e (see docs/tpu_performance.md): the
+    # recursive form wins from ~512 up; below that the stock kernel's
+    # latency is already at the floor
+    return 512 if is_tpu() else 1 << 62
 
 
 def use_pallas() -> bool:

@@ -31,6 +31,9 @@ from jax import lax
 from jax.scipy.linalg import solve_triangular
 from jax.scipy.special import gammaln
 
+from ..config import blocked_chol_min_n
+from . import blocked
+
 __all__ = [
     "ChoFactor",
     "PivotedChoFactor",
@@ -41,9 +44,51 @@ __all__ = [
 ]
 
 
+def _use_blocked(n):
+    """Whether the large-n recursive blocked kernels handle size n.
+
+    Read at trace time (per compiled shape); the threshold is static
+    per-process, like the other config flags.
+    """
+    return n >= blocked_chol_min_n()
+
+
 def _chol(A):
-    """Lower Cholesky; XLA fills the result with NaNs when not PD."""
+    """Lower Cholesky; XLA fills the result with NaNs when not PD.
+
+    Large matrices dispatch to the recursive blocked factorization
+    (:func:`mogp_tpu.ops.blocked.recursive_cholesky`) so the O(n^3) work
+    runs as MXU matmuls instead of XLA's stock panel schedule.
+    """
+    if _use_blocked(A.shape[-1]):
+        return blocked.recursive_cholesky(A)
     return lax.linalg.cholesky(A)
+
+
+def _solve_lower(L, b):
+    """Solve ``L x = b`` (lower), dispatching to the blocked TRSM at large n."""
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    x = (
+        blocked.trsm_left_lower(L, b)
+        if _use_blocked(L.shape[-1])
+        else solve_triangular(L, b, lower=True)
+    )
+    return x[..., 0] if vec else x
+
+
+def _solve_lower_t(L, b):
+    """Solve ``L^T x = b`` (upper sweep), blocked TRSM at large n."""
+    vec = b.ndim == L.ndim - 1
+    if vec:
+        b = b[..., None]
+    x = (
+        blocked.trsm_left_lt(L, b)
+        if _use_blocked(L.shape[-1])
+        else solve_triangular(L.T, b, lower=False)
+    )
+    return x[..., 0] if vec else x
 
 
 class ChoFactor(NamedTuple):
@@ -60,14 +105,13 @@ class ChoFactor(NamedTuple):
         """Solve ``A x = b`` given ``A = L L^T`` (``cholesky.py:22``)."""
         if self.L.shape[0] == 0:
             return jnp.zeros_like(b)
-        y = solve_triangular(self.L, b, lower=True)
-        return solve_triangular(self.L.T, y, lower=False)
+        return _solve_lower_t(self.L, _solve_lower(self.L, b))
 
     def solve_L(self, b):
         """Solve ``L x = b`` (matrix square root solve, ``cholesky.py:44``)."""
         if self.L.shape[0] == 0:
             return jnp.zeros_like(b)
-        return solve_triangular(self.L, b, lower=True)
+        return _solve_lower(self.L, b)
 
     def solve_from_half(self, w):
         """Complete a full solve from a half-solve: given ``w = solve_L(b)``,
@@ -78,7 +122,7 @@ class ChoFactor(NamedTuple):
         upper sweep over a stacked RHS is a large win in the hot path."""
         if self.L.shape[0] == 0:
             return jnp.zeros_like(w)
-        return solve_triangular(self.L.T, w, lower=False)
+        return _solve_lower_t(self.L, w)
 
     def logdet(self):
         """``log det A = 2 sum log diag L`` (``cholesky.py:67``)."""
