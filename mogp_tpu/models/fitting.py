@@ -39,9 +39,8 @@ _GP_KWARGS = ["mean", "kernel", "priors", "nugget", "inputdict", "use_patsy"]
 # objective evaluation, "single" = 1 candidate (the 1e-6*mean-diag rung;
 # fastest -- points needing a larger jitter evaluate to NaN and are
 # rejected by the line search, like a skipped LinAlgError restart).
-_OPT_LADDER = {"sparse": True, "single": "single", "full": False}[
-    os.environ.get("MOGP_TPU_OPT_LADDER", "single")
-]
+_LADDER_MODES = {"sparse": True, "single": "single", "full": False}
+_OPT_LADDER = _LADDER_MODES[os.environ.get("MOGP_TPU_OPT_LADDER", "single")]
 
 
 @partial(
@@ -49,7 +48,7 @@ _OPT_LADDER = {"sparse": True, "single": "single", "full": False}[
     static_argnames=("kernel", "nugget_type", "maxiter", "gtol", "ftol", "ladder"),
 )
 def _batched_fit_single(starts, data, kernel, nugget_type, maxiter, gtol, ftol,
-                        ladder=_OPT_LADDER):
+                        ladder):
     """All restarts of one GP in a single XLA program (vmap over tries)."""
 
     def minimize_one(x0):
@@ -67,10 +66,10 @@ def _batched_fit_single(starts, data, kernel, nugget_type, maxiter, gtol, ftol,
 
 @partial(
     jax.jit,
-    static_argnames=("kernel", "nugget_type", "maxiter", "gtol", "ftol"),
+    static_argnames=("kernel", "nugget_type", "maxiter", "gtol", "ftol", "ladder"),
 )
 def _batched_fit_multi(starts, data, kernel, nugget_type, maxiter, gtol, ftol,
-                       ladder=_OPT_LADDER):
+                       ladder):
     """(outputs x restarts) batched fit: the reference's process pool and
     restart loop collapsed into one doubly-vmapped program."""
 
@@ -127,12 +126,14 @@ def _extract_opt_options(kwargs):
     gtol = None if gtol is None else float(gtol)
     ftol = None if ftol is None else float(ftol)
     race = bool(kwargs.pop("race", True))
+    ladder = kwargs.pop("opt_ladder", None)
+    ladder = _OPT_LADDER if ladder is None else _LADDER_MODES[ladder]
     kwargs.pop("processes", None)  # accepted for API parity; batching replaces it
     if kwargs:
         warnings.warn(
             "ignoring unsupported optimizer options: {}".format(sorted(kwargs))
         )
-    return maxiter, gtol, ftol, race
+    return maxiter, gtol, ftol, race, ladder
 
 
 def _race_plan(n_tries, maxiter, race):
@@ -178,7 +179,7 @@ def _fit_single_GP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", **kwargs)
     n_tries = int(n_tries)
     assert n_tries > 0, "number of attempts must be positive"
     _check_method(method)
-    maxiter, gtol, ftol, race = _extract_opt_options(dict(kwargs))
+    maxiter, gtol, ftol, race, ladder = _extract_opt_options(dict(kwargs))
 
     starts = _gather_starts(gp, n_tries, theta0)
     dtype = gp._data.inputs.dtype
@@ -186,7 +187,7 @@ def _fit_single_GP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", **kwargs)
     if plan is None:
         res = _batched_fit_single(
             jnp.asarray(starts, dtype=dtype),
-            gp._data, gp.kernel, gp.nugget_type, maxiter, gtol, ftol,
+            gp._data, gp.kernel, gp.nugget_type, maxiter, gtol, ftol, ladder,
         )
         fun = np.asarray(res.fun, dtype=np.float64)
         xs = np.asarray(res.x, dtype=np.float64)
@@ -194,13 +195,13 @@ def _fit_single_GP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", **kwargs)
         phase_a, keep, phase_b = plan
         res_a = _batched_fit_single(
             jnp.asarray(starts, dtype=dtype),
-            gp._data, gp.kernel, gp.nugget_type, phase_a, gtol, ftol,
+            gp._data, gp.kernel, gp.nugget_type, phase_a, gtol, ftol, ladder,
         )
         fun_a = np.asarray(res_a.fun, dtype=np.float64)
         top = np.argsort(np.where(np.isfinite(fun_a), fun_a, np.inf))[:keep]
         res = _batched_fit_single(
             jnp.asarray(res_a.x, dtype=dtype)[top],
-            gp._data, gp.kernel, gp.nugget_type, phase_b, gtol, ftol,
+            gp._data, gp.kernel, gp.nugget_type, phase_b, gtol, ftol, ladder,
         )
         fun = np.asarray(res.fun, dtype=np.float64)
         xs = np.asarray(res.x, dtype=np.float64)
@@ -216,7 +217,7 @@ def _fit_single_GP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", **kwargs)
 
 
 def _run_fit_chunked(ems, starts, kernel, nugget_type, maxiter, gtol, ftol,
-                     dtype, chunk=None):
+                     ladder, dtype, chunk=None):
     """Run the doubly-vmapped fit over output chunks of <= _MAX_LANES lanes.
 
     :param starts: (G, T, P) starting points.
@@ -249,6 +250,7 @@ def _run_fit_chunked(ems, starts, kernel, nugget_type, maxiter, gtol, ftol,
             maxiter,
             gtol,
             ftol,
+            ladder,
         )
         fun[sel] = np.asarray(res.fun, dtype=np.float64)[: sel.stop - sel.start]
         xs[sel] = np.asarray(res.x, dtype=np.float64)[: sel.stop - sel.start]
@@ -262,7 +264,7 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
     n_tries = int(n_tries)
     assert n_tries > 0, "n_tries must be a positive integer"
     _check_method(method)
-    maxiter, gtol, ftol, race = _extract_opt_options(dict(kwargs))
+    maxiter, gtol, ftol, race, ladder = _extract_opt_options(dict(kwargs))
 
     # normalize theta0 into a per-emulator list (fitting.py:294-316)
     if theta0 is None:
@@ -313,13 +315,13 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
         if plan is None:
             fun, xs = _run_fit_chunked(
                 ems, starts, em0.kernel, em0.nugget_type, maxiter, gtol, ftol,
-                dtype, chunk=chunk_q,
+                ladder, dtype, chunk=chunk_q,
             )
         else:
             phase_a, keep, phase_b = plan
             fun_a, xs_a = _run_fit_chunked(
                 ems, starts, em0.kernel, em0.nugget_type, phase_a, gtol, ftol,
-                dtype, chunk=chunk_q,
+                ladder, dtype, chunk=chunk_q,
             )
             # top `keep` restarts per output advance to the full-budget
             # phase; non-finite restarts sort last
@@ -329,7 +331,7 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
             starts_b = np.take_along_axis(xs_a, order[:, :, None], axis=1)
             fun, xs = _run_fit_chunked(
                 ems, starts_b, em0.kernel, em0.nugget_type, phase_b, gtol,
-                ftol, dtype, chunk=chunk_q,
+                ftol, ladder, dtype, chunk=chunk_q,
             )
 
         best_raw = np.empty((G, starts.shape[-1]), dtype=np.float64)

@@ -39,6 +39,7 @@ from jax import lax
 
 __all__ = [
     "recursive_cholesky",
+    "cholesky_with_inverse",
     "trsm_right_lt",
     "trsm_left_lower",
     "trsm_left_lt",
@@ -142,6 +143,54 @@ def trsm_left_lt(L, B, leaf=DEFAULT_LEAF):
 
 def _t(x):
     return jnp.swapaxes(x, -1, -2)
+
+
+def cholesky_with_inverse(A, leaf=DEFAULT_LEAF):
+    """Lower Cholesky factor L of ``A`` AND its explicit inverse ``L^-1``.
+
+    The recursion carries the inverse along:
+
+        L    = [[L11,  0 ],     L^-1 = [[   L11^-1,       0   ],
+                [L21, L22]]             [-L22^-1 L21 L11^-1, L22^-1]]
+
+    so every panel solve becomes a GEMM against an already-available
+    inverse block (``L21 = A21 (L11^-1)^T``) -- the only non-matmul work
+    is one leaf-size Cholesky + one leaf-size triangular inversion per
+    leaf.  Triangular solves are the latency bottleneck of the factor-
+    then-solve formulation on TPU; this trades ~2x the FLOPs (all on the
+    MXU) for their removal.  The explicit inverse mirrors the reference
+    GPU backend, which also materializes ``invQ`` by ``potrs`` against
+    the identity (``mogp_gpu/src/densegp_gpu.hpp:576-580``); with the
+    adaptive jitter bounding the condition number, the accuracy loss vs
+    backward-stable solves is within the f32 parity tolerance (asserted
+    by the oracle tests).
+
+    :returns: ``(L, Linv)``.
+    """
+    n = A.shape[-1]
+    if n <= leaf:
+        L = lax.linalg.cholesky(A)
+        eye = jnp.eye(n, dtype=A.dtype)
+        eye = jnp.broadcast_to(eye, A.shape)
+        Linv = lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+        return L, Linv
+    m = _split_point(n, leaf)
+    A11 = A[..., :m, :m]
+    A21 = A[..., m:, :m]
+    A22 = A[..., m:, m:]
+    L11, L11inv = cholesky_with_inverse(A11, leaf)
+    L21 = _matmul(A21, _t(L11inv))
+    S22 = A22 - _matmul(L21, _t(L21))
+    L22, L22inv = cholesky_with_inverse(S22, leaf)
+    inv21 = -_matmul(L22inv, _matmul(L21, L11inv))
+    z_top = jnp.zeros_like(_t(A21))
+    L = jnp.concatenate(
+        [jnp.concatenate([L11, z_top], axis=-1),
+         jnp.concatenate([L21, L22], axis=-1)], axis=-2)
+    Linv = jnp.concatenate(
+        [jnp.concatenate([L11inv, z_top], axis=-1),
+         jnp.concatenate([inv21, L22inv], axis=-1)], axis=-2)
+    return L, Linv
 
 
 def recursive_cholesky(A, leaf=DEFAULT_LEAF):

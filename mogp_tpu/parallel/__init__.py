@@ -8,7 +8,14 @@ one XLA program, annotated with shardings so GSPMD partitions the work
 over chips and inserts any needed collectives over ICI.
 """
 
-from .mesh import auto_mesh, shard_leading
+from .mesh import auto_mesh, init_distributed, replicate, shard_leading
 from .sharded import sharded_fit_mogp, sharded_predict
 
-__all__ = ["auto_mesh", "shard_leading", "sharded_fit_mogp", "sharded_predict"]
+__all__ = [
+    "auto_mesh",
+    "init_distributed",
+    "replicate",
+    "shard_leading",
+    "sharded_fit_mogp",
+    "sharded_predict",
+]

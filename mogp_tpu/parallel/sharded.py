@@ -51,6 +51,7 @@ def sharded_fit_mogp(
     maxiter=200,
     gtol=1e-5,
     ftol=1e-10,
+    opt_ladder=None,
 ):
     """MAP-fit all outputs of a MultiOutputGP with outputs sharded on a mesh.
 
@@ -78,9 +79,18 @@ def sharded_fit_mogp(
     starts = shard_leading(starts, mesh)
     data = shard_leading(data, mesh)
 
+    from ..models.fitting import _LADDER_MODES, _OPT_LADDER
+
+    ladder = _OPT_LADDER if opt_ladder is None else _LADDER_MODES[opt_ladder]
     res = _batched_fit_multi(
-        starts, data, em0.kernel, em0.nugget_type, maxiter, gtol, ftol
+        starts, data, em0.kernel, em0.nugget_type, maxiter, gtol, ftol, ladder
     )
+    if jax.process_count() > 1:
+        # multi-host (DCN): each process holds only its shard of the
+        # outputs axis; gather the global result onto every host
+        from jax.experimental import multihost_utils
+
+        res = multihost_utils.process_allgather(res, tiled=True)
     fun = np.asarray(res.fun, dtype=np.float64)[: len(ems)]
     xs = np.asarray(res.x, dtype=np.float64)[: len(ems)]
 
