@@ -26,7 +26,7 @@ from ..models.gp import gp_predict
 from ..models.mogp import MultiOutputGP, _stack_pytrees
 from .mesh import auto_mesh, replicate, shard_leading
 
-__all__ = ["sharded_fit_mogp", "sharded_predict"]
+__all__ = ["sharded_fit_mogp", "sharded_predict", "sharded_predict_mogp"]
 
 
 def _pad_leading(arr_or_tree, multiple):
@@ -102,6 +102,71 @@ def sharded_fit_mogp(
             idx = int(np.nanargmin(np.where(finite, fun[row], np.inf)))
             em.fit(xs[row, idx])
     return gp
+
+
+def sharded_predict_mogp(gp, testing, mesh=None, unc=True,
+                         include_nugget=True, allow_not_fit=False):
+    """Predict a MultiOutputGP over a mesh-sharded query-point set.
+
+    Outputs stay a (replicated) vmapped batch axis -- the per-output fit
+    artifacts are small -- while the query axis is sharded over the mesh,
+    so a HistoryMatching sweep over millions of points splits its
+    K*-build and solve work across chips with no collectives
+    (reference scale-out surface: ``HistoryMatching.py:197``,
+    ``MultiOutputGP.py:182-324``).
+
+    Returns ``(means, variances)`` host arrays of shape
+    ``(n_outputs, n_query)``; unfit emulators give NaN rows when
+    ``allow_not_fit`` (reference ``_gp_predict_default_NaN`` semantics).
+    """
+    from ..models.mogp import _batched_predict
+
+    mesh = mesh or auto_mesh()
+    axis = mesh.axis_names[0]
+    n_dev = mesh.shape[axis]
+    testing = np.asarray(testing, dtype=np.float64)
+    if testing.ndim == 1:
+        testing = testing.reshape(-1, gp.D) if gp.D > 1 else testing.reshape(-1, 1)
+    n_query = testing.shape[0]
+
+    unfit = set(gp.get_indices_not_fit())
+    if unfit and not allow_not_fit:
+        raise ValueError(
+            "hyperparameters have not been fit for emulators {}".format(
+                sorted(unfit)
+            )
+        )
+    fit_indices = [i for i in range(gp.n_emulators) if i not in unfit]
+
+    means = np.full((gp.n_emulators, n_query), np.nan)
+    variances = np.full((gp.n_emulators, n_query), np.nan)
+
+    for sig, rel in gp._groups([gp.emulators[i] for i in fit_indices]).items():
+        global_idx = [fit_indices[i] for i in rel]
+        ems = [gp.emulators[i] for i in global_idx]
+        em0 = ems[0]
+        dtype = em0._data.inputs.dtype
+
+        arts = replicate(_stack_pytrees([em._artifacts for em in ems]), mesh)
+        data = replicate(_stack_pytrees([em._data for em in ems]), mesh)
+
+        dmtest = em0.get_design_matrix(testing)
+        spec = NamedSharding(mesh, P(axis, None))
+        testing_j = jax.device_put(
+            _pad_leading(jnp.asarray(testing, dtype=dtype), n_dev), spec
+        )
+        dmtest_j = jax.device_put(
+            _pad_leading(jnp.asarray(dmtest, dtype=dtype), n_dev), spec
+        )
+
+        mu, var = _batched_predict(
+            arts, data, testing_j, dmtest_j, em0.kernel, em0.nugget_type,
+            bool(unc), bool(include_nugget), False,
+        )
+        means[global_idx] = np.asarray(mu, dtype=np.float64)[:, :n_query]
+        if unc:
+            variances[global_idx] = np.asarray(var, dtype=np.float64)[:, :n_query]
+    return means, (variances if unc else None)
 
 
 def sharded_predict(gp, testing, mesh=None, unc=True, include_nugget=True):

@@ -83,11 +83,19 @@ class HistoryMatching:
                 "ncoords is not set despite a valid parameter combination being found."
             )
         if use_coord_gp:
-            if self.mesh is not None and isinstance(self.gp, GaussianProcessBase):
-                from ..parallel.sharded import sharded_predict
+            if self.mesh is not None:
+                if isinstance(self.gp, GaussianProcessBase):
+                    from ..parallel.sharded import sharded_predict
 
-                mu, var = sharded_predict(self.gp, self.coords, mesh=self.mesh)
-                return PredictResult(mean=mu, unc=var, deriv=None)
+                    mu, var = sharded_predict(self.gp, self.coords, mesh=self.mesh)
+                    return PredictResult(mean=mu, unc=var, deriv=None)
+                if isinstance(self.gp, MultiOutputGPBase):
+                    from ..parallel.sharded import sharded_predict_mogp
+
+                    mu, var = sharded_predict_mogp(
+                        self.gp, self.coords, mesh=self.mesh
+                    )
+                    return PredictResult(mean=mu, unc=var, deriv=None)
             return self.gp.predict(self.coords)
         return self.expectations
 
