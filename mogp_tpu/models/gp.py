@@ -182,39 +182,25 @@ def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
         reuse_factor=reuse_factor, sparse_ladder=sparse_ladder,
     )
 
-    from ..ops.cholesky import ChoFactor, fixed_cholesky
+    from ..ops.linalg import marginal_core, marginal_nlp
 
     # One stacked half-solve W = L^-1 [H | (y - m)] provides everything
-    # the marginalized-mean math needs: triangular solves are
-    # latency-bound on TPU, so the reference's three separate K^-1 solves
-    # (A build, Kinv_t, Kinv_t_mean -- GaussianProcess.py:655-672) become
-    # a single lower sweep here (plus one upper sweep for the prediction
-    # artifacts below).
-    rhs = jnp.concatenate([data.dm, (data.targets - m)[:, None]], axis=1)
-    W = Kinv.solve_L(rhs)
-    Wh, alpha = W[:, :-1], W[:, -1]
+    # the marginalized-mean math needs (the reference's three separate
+    # K^-1 solves, GaussianProcess.py:655-672) -- see ops/linalg.py.
+    core = marginal_core(Kinv, data.dm, data.targets - m, data.mean_inv_cov)
+    Ainv = core.Ainv
 
-    # A = H^T K^-1 H + B^-1 = Wh^T Wh + B^-1  (linalg_utils.py:5-40)
-    A = jnp.dot(Wh.T, Wh) + data.mean_inv_cov
-    Ainv = ChoFactor(fixed_cholesky(A))
-
-    H_Kinv_t = jnp.dot(Wh.T, alpha)
-    mean = Ainv.solve(H_Kinv_t + data.mean_inv_cov_b)
+    # analytic mean: beta_hat = A^-1 (H^T K^-1 y + B^-1 b)
+    # (linalg_utils.py:96-130)
+    mean = Ainv.solve(core.H_Kinv_t + data.mean_inv_cov_b)
 
     # complete the full solves (upper sweep) for the prediction artifacts;
     # Kinv_t_mean = K^-1 (y - H mean) = Kinv_t + (K^-1 H)(b - mean)
-    full = Kinv.solve_from_half(W)
+    full = Kinv.solve_from_half(core.W)
     Kinv_dm, Kinv_t = full[:, :-1], full[:, -1]
     Kinv_t_mean = Kinv_t + jnp.dot(Kinv_dm, data.mean_mean - mean)
 
-    logpost = 0.5 * (
-        jnp.dot(alpha, alpha)
-        - jnp.dot(H_Kinv_t, Ainv.solve(H_Kinv_t))
-        + Kinv.logdet()
-        + Ainv.logdet()
-        + data.mean_logdet_cov
-        + data.n_coeff * jnp.log(2.0 * jnp.pi)
-    )
+    logpost = marginal_nlp(core, Kinv, data.mean_logdet_cov, data.n_coeff)
     logpost = logpost - _prior_logp(data, raw, n_corr, nugget_type)
 
     return FitArtifacts(
@@ -259,24 +245,10 @@ def gp_nlp(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
         reuse_factor=reuse_factor, sparse_ladder=sparse_ladder,
     )
 
-    from ..ops.cholesky import ChoFactor, fixed_cholesky
+    from ..ops.linalg import marginal_core, marginal_nlp
 
-    rhs = jnp.concatenate([data.dm, (data.targets - m)[:, None]], axis=1)
-    W = Kinv.solve_L(rhs)
-    Wh, alpha = W[:, :-1], W[:, -1]
-
-    A = jnp.dot(Wh.T, Wh) + data.mean_inv_cov
-    Ainv = ChoFactor(fixed_cholesky(A))
-    H_Kinv_t = jnp.dot(Wh.T, alpha)
-
-    logpost = 0.5 * (
-        jnp.dot(alpha, alpha)
-        - jnp.dot(H_Kinv_t, Ainv.solve(H_Kinv_t))
-        + Kinv.logdet()
-        + Ainv.logdet()
-        + data.mean_logdet_cov
-        + data.n_coeff * jnp.log(2.0 * jnp.pi)
-    )
+    core = marginal_core(Kinv, data.dm, data.targets - m, data.mean_inv_cov)
+    logpost = marginal_nlp(core, Kinv, data.mean_logdet_cov, data.n_coeff)
     return logpost - _prior_logp(data, raw, n_corr, nugget_type)
 
 

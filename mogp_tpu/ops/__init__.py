@@ -17,7 +17,7 @@ from .kernels import (
     UniformSqExp,
     get_kernel,
 )
-from .linalg import calc_Ainv, calc_mean_params, calc_R
+from .linalg import MarginalCore, marginal_core, marginal_nlp
 from .transforms import CorrTransform, CovTransform
 
 __all__ = [
@@ -34,9 +34,9 @@ __all__ = [
     "UniformMat52",
     "UniformSqExp",
     "get_kernel",
-    "calc_Ainv",
-    "calc_mean_params",
-    "calc_R",
+    "MarginalCore",
+    "marginal_core",
+    "marginal_nlp",
     "CorrTransform",
     "CovTransform",
 ]

@@ -1,39 +1,73 @@
-"""GP mean-function linear algebra helpers.
+"""Marginalized-mean GP linear algebra (the ``linalg_utils`` layer).
 
-Pure-function equivalents of ``mogp_emulator/linalg/linalg_utils.py`` for
-the marginalized-mean GP math.  Only the forward computations are needed:
-``calc_A_deriv`` / ``logdet_deriv`` (``linalg_utils.py:42,170``) have no
-counterpart here because gradients come from ``jax.grad`` of the
-log-posterior.
+TPU-native re-design of ``mogp_emulator/linalg/linalg_utils.py``: instead
+of the reference's separate ``calc_Ainv`` / ``calc_mean_params`` /
+``calc_R`` solves (``linalg_utils.py:5,96,132``; three K^-1 solves per
+objective evaluation), everything the marginalized-mean math needs comes
+from ONE stacked lower-triangular half-solve
+
+    W = L^-1 [H | (y - m)]
+
+because triangular solves are latency-bound on TPU and the stacked RHS
+amortizes both sweeps.  ``calc_A_deriv`` / ``logdet_deriv``
+(``linalg_utils.py:42,170``) have no counterpart: gradients come from
+``jax.grad`` of the log posterior.
+
+This module is the single implementation used by both the fit-artifact
+path and the lean optimizer objective (``models/gp.py``).
 """
+
+from typing import NamedTuple
 
 import jax.numpy as jnp
 
 from .cholesky import ChoFactor, fixed_cholesky
 
-__all__ = ["calc_Ainv", "calc_mean_params", "calc_R"]
+__all__ = ["MarginalCore", "marginal_core", "marginal_nlp"]
 
 
-def calc_Ainv(Kinv, dm, mean_priors):
-    """Factorize ``A = H^T K^-1 H + B^-1`` (``linalg_utils.py:5-40``).
+class MarginalCore(NamedTuple):
+    """Artifacts of the stacked half-solve shared by fit and objective.
 
-    :param Kinv: factor of the covariance (``ChoFactor`` or
-                 ``PivotedChoFactor``).
-    :param dm: design matrix ``H``, shape ``(n, M)``.
-    :param mean_priors: ``MeanPriors`` object supplying ``B^-1``.
-    :returns: ``ChoFactor`` of ``A`` (zero-size if ``M == 0``).
+    ``W = L^-1 [H | (y-m)]`` split into ``Wh`` (n, M) and ``alpha`` (n,);
+    ``Ainv`` factors ``A = H^T K^-1 H + B^-1`` (``linalg_utils.py:5-40``);
+    ``H_Kinv_t = H^T K^-1 (y-m)``.
     """
-    A = jnp.dot(dm.T, Kinv.solve(dm)) + mean_priors.inv_cov()
-    return ChoFactor(fixed_cholesky(A))
+
+    W: jnp.ndarray
+    Wh: jnp.ndarray
+    alpha: jnp.ndarray
+    Ainv: ChoFactor
+    H_Kinv_t: jnp.ndarray
 
 
-def calc_mean_params(Ainv, Kinv_t, dm, mean_priors):
-    """Analytical mean solution ``beta_hat = A^-1 (H^T K^-1 y + B^-1 b)``
-    (``linalg_utils.py:96-130``)."""
-    return Ainv.solve(jnp.dot(dm.T, Kinv_t) + mean_priors.inv_cov_b())
+def marginal_core(Kinv, dm, resid, mean_inv_cov):
+    """One stacked half-solve giving the marginalized-mean artifacts.
+
+    :param Kinv: covariance factor (``ChoFactor``/``PivotedChoFactor``).
+    :param dm: design matrix ``H`` (n, M).
+    :param resid: ``y - H b`` residual against the prior mean (n,).
+    :param mean_inv_cov: ``B^-1`` (M, M) -- zeros for weak mean priors.
+    """
+    rhs = jnp.concatenate([dm, resid[:, None]], axis=1)
+    W = Kinv.solve_L(rhs)
+    Wh, alpha = W[:, :-1], W[:, -1]
+    # A = H^T K^-1 H + B^-1 = Wh^T Wh + B^-1   (linalg_utils.py:5-40)
+    A = jnp.dot(Wh.T, Wh) + mean_inv_cov
+    Ainv = ChoFactor(fixed_cholesky(A))
+    H_Kinv_t = jnp.dot(Wh.T, alpha)
+    return MarginalCore(W=W, Wh=Wh, alpha=alpha, Ainv=Ainv, H_Kinv_t=H_Kinv_t)
 
 
-def calc_R(Kinv_Ktest, dm, dmtest):
-    """Prediction correction matrix ``R = H*^T - H^T K^-1 K*``
-    (``linalg_utils.py:132-168``)."""
-    return dmtest.T - jnp.dot(dm.T, Kinv_Ktest)
+def marginal_nlp(core: MarginalCore, Kinv, mean_logdet_cov, n_coeff):
+    """Negative log marginal posterior data terms
+    (``GaussianProcess.py:674-685``): quadratic form, the mean-
+    marginalization correction, and all log-determinant terms."""
+    return 0.5 * (
+        jnp.dot(core.alpha, core.alpha)
+        - jnp.dot(core.H_Kinv_t, core.Ainv.solve(core.H_Kinv_t))
+        + Kinv.logdet()
+        + core.Ainv.logdet()
+        + mean_logdet_cov
+        + n_coeff * jnp.log(2.0 * jnp.pi)
+    )

@@ -279,8 +279,31 @@ class MaxiMinLHC(LatinHypercubeDesign):
             strata + np.random.random((n_tries, n_samples, n_parameters))
         ) / float(n_samples)
 
-        # chunk the tries axis so the (chunk, n, n) distance tensor stays
-        # bounded in memory for large designs
+        min_dists = self._score_candidates(candidates)
+        best = int(np.argmax(min_dists))
+        best_samples = candidates[best]
+        assert np.all(best_samples >= 0.0) and np.all(best_samples <= 1.0)
+        return best_samples
+
+    @staticmethod
+    def _score_candidates(candidates):
+        """Min pairwise distance per candidate design.
+
+        Device path: one batched program (chunked so the (chunk, n, n)
+        distance tensor stays bounded in memory).  Host fallback: the
+        native OpenMP scorer (``mogp_tpu.native.maximin_score``) -- on
+        CPU backends it skips the per-chunk dispatch overhead of the
+        jitted program, mirroring the reference's host-side ``pdist``
+        loop (``ExperimentalDesign.py:663-668``) at full thread count.
+        """
+        from ..config import is_tpu
+
+        n_tries, n_samples, _ = candidates.shape
+        if not is_tpu():
+            from .. import native
+
+            if native.native_usable():
+                return native.maximin_score(candidates)
         max_elems = 1 << 26
         chunk = max(1, int(max_elems // max(n_samples * n_samples, 1)))
         min_dists = np.empty(n_tries)
@@ -289,7 +312,4 @@ class MaxiMinLHC(LatinHypercubeDesign):
             min_dists[c0 : c0 + len(block)] = np.asarray(
                 _min_pdist_batch(jnp.asarray(block))
             )
-        best = int(np.argmax(min_dists))
-        best_samples = candidates[best]
-        assert np.all(best_samples >= 0.0) and np.all(best_samples <= 1.0)
-        return best_samples
+        return min_dists
