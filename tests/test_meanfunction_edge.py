@@ -1,0 +1,187 @@
+"""MeanFunction AST edge-case grid: composite/power/product derivatives.
+
+Deep L1 coverage in the reference's style (``tests/test_MeanFunction.py``):
+every composite node type is exercised with FD-checked parameter
+derivatives, Hessians, and input derivatives, including the tricky cases
+(Coefficient exponents, composition of parametric functions, powers of
+composites, formula-built trees).
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from mogp_tpu.models.formula import mean_from_string
+from mogp_tpu.models.meanfunction import (
+    Coefficient,
+    ConstantMean,
+    FixedMean,
+    LinearMean,
+    MeanComposite,
+    MeanPower,
+    MeanProduct,
+    MeanSum,
+    PolynomialMean,
+)
+
+rng = np.random.RandomState(77)
+X = rng.uniform(0.3, 1.7, size=(6, 3))  # positive: safe under powers
+
+
+def fd_param_deriv(mf, x, params, eps=1e-6):
+    out = np.empty((len(params), len(x)))
+    for i in range(len(params)):
+        pp, pm = params.copy(), params.copy()
+        pp[i] += eps
+        pm[i] -= eps
+        out[i] = (mf(x, pp) - mf(x, pm)) / (2 * eps)
+    return out
+
+
+def fd_input_deriv(mf, x, params, eps=1e-6):
+    out = np.empty((x.shape[1], len(x)))
+    for d in range(x.shape[1]):
+        xp, xm = x.copy(), x.copy()
+        xp[:, d] += eps
+        xm[:, d] -= eps
+        out[d] = (mf(xp, params) - mf(xm, params)) / (2 * eps)
+    return out
+
+
+def make_edge_cases():
+    c = Coefficient
+    return [
+        # sums/products of parametric nodes
+        ("sum_of_coeffs", c() + c() + c(), 3),
+        ("product_of_coeffs", c() * c(), 2),
+        ("coeff_times_sum", c() * (LinearMean(0) + LinearMean(2)), 1),
+        ("product_two_linear", (c() * LinearMean(0)) * (c() * LinearMean(1)), 2),
+        # powers: fixed exponent, integer exponent, coefficient exponent
+        ("power_fixed", (c() * LinearMean(0)) ** 2.0, 1),
+        ("power_of_sum", (c() + LinearMean(1)) ** 3.0, 1),
+        ("power_coeff_exponent", LinearMean(0) ** c(), 1),
+        # composition: outer(inner)
+        ("composite_linear", (LinearMean(0) ** 2.0)(c() * LinearMean(1)), 1),
+        ("composite_parametric", (c() * LinearMean(0))(c() * LinearMean(2)), 2),
+        # polynomial and mixtures
+        ("polynomial", PolynomialMean(2), 7),
+        ("poly_plus_coeff", PolynomialMean(1) + c() * LinearMean(2) ** 2.0, 5),
+        # fixed mean interactions
+        ("fixed_plus_coeff", FixedMean(lambda x: x[:, 0] ** 2) + c(), 1),
+        # callable must be jnp-traceable for input derivatives (autodiff)
+        ("fixed_times_coeff", FixedMean(lambda x: x[:, 1] ** 3) * c(), 1),
+    ]
+
+
+@pytest.mark.parametrize("name,mf,n_params",
+                         [(n, m, p) for n, m, p in make_edge_cases()],
+                         ids=[n for n, _, _ in make_edge_cases()])
+def test_n_params_and_eval_finite(name, mf, n_params):
+    assert mf.get_n_params(X) == n_params
+    params = rng.uniform(0.5, 1.5, size=n_params)
+    vals = mf(X, params)
+    assert vals.shape == (len(X),)
+    assert np.all(np.isfinite(vals))
+
+
+@pytest.mark.parametrize("name,mf,n_params",
+                         [(n, m, p) for n, m, p in make_edge_cases()],
+                         ids=[n for n, _, _ in make_edge_cases()])
+def test_mean_deriv_fd(name, mf, n_params):
+    params = rng.uniform(0.5, 1.5, size=n_params)
+    deriv = mf.mean_deriv(X, params)
+    assert deriv.shape == (n_params, len(X))
+    assert_allclose(deriv, fd_param_deriv(mf, X, params), rtol=2e-5,
+                    atol=1e-7)
+
+
+@pytest.mark.parametrize("name,mf,n_params",
+                         [(n, m, p) for n, m, p in make_edge_cases()],
+                         ids=[n for n, _, _ in make_edge_cases()])
+def test_mean_inputderiv_fd(name, mf, n_params):
+    params = rng.uniform(0.5, 1.5, size=n_params)
+    dx = mf.mean_inputderiv(X, params)
+    assert dx.shape == (X.shape[1], len(X))
+    assert_allclose(dx, fd_input_deriv(mf, X, params), rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "name,mf,n_params",
+    [(n, m, p) for n, m, p in make_edge_cases() if p > 0],
+    ids=[n for n, _, p in make_edge_cases() if p > 0])
+def test_mean_hessian_fd(name, mf, n_params):
+    params = rng.uniform(0.5, 1.5, size=n_params)
+    hess = mf.mean_hessian(X, params)
+    assert hess.shape == (n_params, n_params, len(X))
+    eps = 1e-5
+    for i in range(n_params):
+        pp, pm = params.copy(), params.copy()
+        pp[i] += eps
+        pm[i] -= eps
+        fd = (mf.mean_deriv(X, pp) - mf.mean_deriv(X, pm)) / (2 * eps)
+        assert_allclose(hess[i], fd, rtol=5e-4, atol=5e-6)
+    assert_allclose(hess, np.swapaxes(hess, 0, 1), rtol=1e-8, atol=1e-10)
+
+
+def test_node_types_from_operators():
+    """Operator overloads build the documented node types."""
+    c = Coefficient()
+    assert isinstance(c + c, MeanSum)
+    assert isinstance(c * c, MeanProduct)
+    assert isinstance(c ** 2.0, MeanPower)
+    assert isinstance(LinearMean(0)(c), MeanComposite)
+
+
+def test_scalar_promotion():
+    """Python scalars in operators promote to ConstantMean."""
+    mf = 2.0 + Coefficient() * 3.0
+    assert mf.get_n_params(X) == 1
+    assert_allclose(mf(X, np.array([1.5])), 2.0 + 4.5, rtol=1e-12)
+    mf2 = LinearMean(0) ** 2
+    assert_allclose(mf2(X, np.array([])), X[:, 0] ** 2, rtol=1e-12)
+
+
+def test_formula_edge_grid():
+    """Formula strings building each edge shape evaluate correctly."""
+    cases = [
+        ("a*x[0] + b*x[1] + c", 3,
+         lambda x, p: p[0] * x[:, 0] + p[1] * x[:, 1] + p[2]),
+        ("(a + x[0])^2", 1, lambda x, p: (p[0] + x[:, 0]) ** 2),
+        ("a*x[0]*x[1]*x[2]", 1,
+         lambda x, p: p[0] * x[:, 0] * x[:, 1] * x[:, 2]),
+        ("x[0]^3 + x[1]^2 + 1", 0,
+         lambda x, p: x[:, 0] ** 3 + x[:, 1] ** 2 + 1.0),
+        ("I(x[0] + x[1])^2", 0, lambda x, p: (x[:, 0] + x[:, 1]) ** 2),
+    ]
+    for formula, n_params, oracle in cases:
+        mf = mean_from_string(formula)
+        assert mf.get_n_params(X) == n_params, formula
+        params = rng.uniform(0.5, 1.5, size=n_params)
+        assert_allclose(mf(X, params), oracle(X, params), rtol=1e-10,
+                        err_msg=formula)
+
+
+def test_formula_inputdict_mapping():
+    mf = mean_from_string("a + width*height", {"width": 0, "height": 2})
+    assert mf.get_n_params(X) == 1
+    assert_allclose(mf(X, np.array([2.0])), 2.0 + X[:, 0] * X[:, 2],
+                    rtol=1e-12)
+
+
+def test_deeply_nested_composition():
+    """outer(inner(innermost)) chains evaluate by substitution."""
+    inner = Coefficient() * LinearMean(0)
+    mid = LinearMean(0) ** 2.0
+    outer = LinearMean(0) + ConstantMean(1.0)
+    comp = outer(mid(inner))
+    params = np.array([3.0])
+    assert_allclose(comp(X, params), (3.0 * X[:, 0]) ** 2 + 1.0, rtol=1e-10)
+
+
+def test_power_exponent_derivative():
+    """d/dc [x^c] = x^c log x -- the Coefficient-exponent branch."""
+    mf = LinearMean(0) ** Coefficient()
+    params = np.array([1.7])
+    deriv = mf.mean_deriv(X, params)
+    expect = X[:, 0] ** 1.7 * np.log(X[:, 0])
+    assert_allclose(deriv[0], expect, rtol=1e-7)
