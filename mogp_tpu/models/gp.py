@@ -280,7 +280,9 @@ def gp_predict(
     sigma2 = jnp.exp(artifacts.raw[n_corr])
 
     mtest = jnp.dot(dmtest, artifacts.mean)
-    Ktest = sigma2 * kernel.kernel_f(data.inputs, testing, corr_raw)  # (n, m)
+    # prediction is never differentiated: use the fused (Pallas-on-TPU)
+    # kernel-matrix build for the cross covariance
+    Ktest = sigma2 * kernel.kernel_f_predict(data.inputs, testing, corr_raw)
 
     mu = mtest + jnp.dot(Ktest.T, artifacts.Kinv_t_mean)
 
@@ -296,7 +298,7 @@ def gp_predict(
     LAinv_R = artifacts.Ainv.solve_L(R)
 
     if full_cov:
-        sigma_2 = sigma2 * kernel.kernel_f(testing, testing, corr_raw)
+        sigma_2 = sigma2 * kernel.kernel_f_predict(testing, testing, corr_raw)
         if include_nugget and nugget_type != "pivot":
             sigma_2 = sigma_2 + jnp.eye(
                 testing.shape[0], dtype=sigma_2.dtype

@@ -171,6 +171,31 @@ class KernelBase:
             exp_theta = jnp.exp(params)
         return base_fn(squared_distance(x1, x2, exp_theta))
 
+    def kernel_f_predict(self, x1, x2, params):
+        """Kernel matrix for NON-differentiated paths (prediction sweeps).
+
+        Same values as :meth:`kernel_f`, but stationary/uniform SqExp and
+        Matern-5/2 dispatch to the fused Pallas tile kernel on TPU
+        (``ops/pallas_kernels.py``; replaces the reference's CUDA
+        ``cov_batch_gpu`` grid, ``mogp_gpu/src/kernel.cu:170-178``): the
+        distance matmul and kernel function are fused per (128, 128)
+        VMEM tile, so the (n, m) r2 intermediate never visits HBM.  The
+        Pallas call defines no VJP -- prediction is never differentiated
+        in this framework; differentiated paths use :meth:`kernel_f`.
+        """
+        if self.form == "product":
+            return self.kernel_f(x1, x2, params)
+        x1, x2, params = self._coerce(x1, x2, params)
+        from .pallas_kernels import kernel_matrix
+
+        if self.form == "uniform":
+            exp_theta = jnp.exp(params[0]) * jnp.ones(
+                x1.shape[1], dtype=params.dtype
+            )
+        else:
+            exp_theta = jnp.exp(params)
+        return kernel_matrix(x1, x2, exp_theta, base=self.base)
+
     def calc_r2(self, x1, x2, params):
         """Scaled squared distances (``Kernel.py:444-480`` /
         ``Kernel.py:297-338`` for the uniform form; the product form

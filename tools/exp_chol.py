@@ -12,8 +12,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-os.environ.setdefault("MOGP_TPU_COMPILE_CACHE", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "MOGP_TPU_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
 
 import numpy as np
 import jax
@@ -119,6 +122,7 @@ def chol_blocked(A, chunk=8, interpret=False):
 
 
 def loop_time(fn, *args, iters=20):
+    assert len(args) == 1, "loop_time threads exactly one positional arg through the carry"
     @jax.jit
     def run(args):
         def body(i, carry):
@@ -162,6 +166,11 @@ def main():
 # ---------------------------------------------------------------------------
 
 MICRO = int(os.environ.get("EXP_MICRO", "8"))
+# Ablation flags are read ONCE at import: reading os.environ inside the
+# jitted kernel would bake the value into the first trace and silently
+# ignore later changes within the same process.
+EXP_ABLATE = os.environ.get("EXP_ABLATE")
+EXP_BATCHED_DOT = os.environ.get("EXP_BATCHED_DOT", "0") == "1"
 
 
 def _chol_v2_kernel(n_pad, chunk, a_ref, out_ref):
@@ -183,14 +192,14 @@ def _chol_v2_kernel(n_pad, chunk, a_ref, out_ref):
             j0 = mb * MICRO
             # extract micro-panel transposed: Mt[c,k,r] = P[c,r,j0+k]
             P = out_ref[:, base:, base:base + BLK]           # (C, R, BLK)
-            if os.environ.get("EXP_ABLATE") == "noextract":
+            if EXP_ABLATE == "noextract":
                 Mt = jnp.broadcast_to(
                     P[:, :1, :1], (chunk, MICRO, R)) * 1.0 + 1.0
             else:
                 Mt = jnp.swapaxes(P[:, :, j0:j0 + MICRO], 1, 2)  # (C, 8, R)
 
             newrows = []
-            _steps = 1 if os.environ.get("EXP_ABLATE") == "steps" else MICRO
+            _steps = 1 if EXP_ABLATE == "steps" else MICRO
             for k in range(_steps):
                 jg = j0 + k
                 rowk = Mt[:, k, :]                            # (C, R)
@@ -217,9 +226,9 @@ def _chol_v2_kernel(n_pad, chunk, a_ref, out_ref):
             # masked to lanes l > j0+7
             laneB = lax.broadcasted_iota(jnp.int32, (chunk, MICRO, BLK), 2)
             V8 = jnp.where(laneB > j0 + MICRO - 1, Lt[:, :, :BLK], 0.0)
-            if os.environ.get("EXP_ABLATE") == "nodot":
+            if EXP_ABLATE == "nodot":
                 pass
-            elif os.environ.get("EXP_BATCHED_DOT", "0") == "1":
+            elif EXP_BATCHED_DOT:
                 upd = lax.dot_general(
                     Lt, V8, (((1,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32)
@@ -271,6 +280,7 @@ def chol_blocked_v2(A, chunk=8, interpret=False):
 
 
 def main_v2():
+    print("ablation:", EXP_ABLATE, "batched_dot:", EXP_BATCHED_DOT)
     n = int(os.environ.get("EXP_N", "210"))
     B = int(os.environ.get("EXP_B", "240"))
     chunk = int(os.environ.get("EXP_CHUNK", "8"))

@@ -11,8 +11,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-os.environ.setdefault("MOGP_TPU_COMPILE_CACHE", "/root/repo/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "MOGP_TPU_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
 
 import numpy as np
 import jax
@@ -147,7 +150,7 @@ def main():
                 L = cholesky_batched(Ks + salt * 1e-20)
                 return jnp.sum(L) * 1e-20
 
-            t = loop_time(pchol, Ks, iters=10)
+            t = loop_time(pchol, Ks, iters=ITERS)
             print(f"Pallas batched Cholesky: {t*1e3:.2f} ms  ({t/LANES*1e6:.1f} us/matrix)")
         except Exception as e:
             print("pallas chol failed:", type(e).__name__, e)
@@ -186,7 +189,7 @@ def batch_scaling():
             L = lax.linalg.cholesky(Ks + salt * 1e-20)
             return jnp.sum(L) * 1e-20
 
-        tc = loop_time(chol, Ks, iters=20)
+        tc = loop_time(chol, Ks, iters=ITERS)
         if skip_vg:
             print(f"B={B:4d}: chol {tc*1e3:7.2f} ms ({tc/B*1e6:5.1f} us/mat)")
             continue
@@ -198,7 +201,7 @@ def batch_scaling():
             v, g = jax.vmap(jax.value_and_grad(one))(theta, datas)
             return (jnp.sum(v) + jnp.sum(g)) * 1e-20
 
-        tv = loop_time(nlp_vg, theta, iters=20)
+        tv = loop_time(nlp_vg, theta, iters=ITERS)
         print(f"B={B:4d}: chol {tc*1e3:7.2f} ms ({tc/B*1e6:5.1f} us/mat)   "
               f"vg {tv*1e3:7.2f} ms ({tv/B*1e6:5.1f} us/lane)")
 
