@@ -83,17 +83,23 @@ def effective_sample_size(samples):
     """Bulk effective sample size per parameter via FFT autocorrelation
     with Geyer's initial-positive-sequence truncation.
 
-    Runs pinned to the CPU backend: it is a cheap post-hoc diagnostic,
-    and TPU backends reject the f64 FFT it needs in x64 mode.
+    Runs where the samples live: on TPU (f32) the FFT is supported, so
+    pod-scale chains are diagnosed in place -- sharded sample arrays
+    reduce over the chains axis with GSPMD collectives instead of a full
+    gather to one host.  Only the x64-on-accelerator combination (f64
+    FFT unsupported there) falls back to a CPU evaluation; that is the
+    CPU-f64 parity-test configuration, where the gather is free.
 
     :param samples: ``(n_chains, n_samples, P)``.
     :returns: ``(P,)`` ESS estimates.
     """
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        return _effective_sample_size(
-            jax.device_put(np.asarray(samples), cpu)
-        )
+    if jax.config.jax_enable_x64 and jax.default_backend() != "cpu":
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            return _effective_sample_size(
+                jax.device_put(np.asarray(samples), cpu)
+            )
+    return _effective_sample_size(jnp.asarray(samples))
 
 
 @jax.jit

@@ -302,24 +302,29 @@ class SequentialDesign:
 
 
 @jax.jit
-def _loo_variances_all(C, invQ, sigma2_tot, cov):
+def _loo_variances_all(W, V, sigma2_tot, cov):
     """Leave-one-out corrected variances for every candidate at once.
 
     For each i, the reference computes
     ``v_i = s2 - k_i^T (Q_{-i,-i})^{-1} k_i`` with ``k_i = C[-i, i]``
     via the Woodbury identity (``SequentialDesign.py:705-748``).  Using
     blockwise inversion, with ``a = C[:, i]`` (full column, ``a_i =
-    cov``), ``I = invQ``:
+    cov``) and ``I = Q^-1``:
 
     ``k^T (Q_-i,-i)^-1 k = P1 - 2 a_i P2 + a_i^2 I_ii - (P2 - a_i I_ii)^2 / I_ii``
 
-    where ``P1 = a^T I a`` and ``P2 = (I a)_i`` -- all obtainable from
-    one n x n matmul.
+    where ``P1 = a^T I a``, ``P2 = (I a)_i``, ``I_ii = diag(Q^-1)``.
+
+    All three come from the HALF-solves ``W = L^-1 C`` and ``V = L^-1``
+    (``Q = L L^T``): ``P1 = diag(W^T W)``, ``P2 = diag(V^T W)``,
+    ``I_ii = diag(V^T V)`` -- no explicit inverse is ever formed (the
+    quadratic forms through half-solves are backward-stable where
+    ``Q^-1 @ C`` loses a factor kappa(Q) in conditioning) and the upper
+    triangular sweep is eliminated entirely.
     """
-    B = invQ @ C                      # (n, n): B[:, i] = invQ @ C[:, i]
-    P1 = jnp.sum(C * B, axis=0)       # a^T invQ a
-    P2 = jnp.diag(B)                  # (invQ a)_i
-    Iii = jnp.diag(invQ)
+    P1 = jnp.sum(W * W, axis=0)
+    P2 = jnp.sum(V * W, axis=0)
+    Iii = jnp.sum(V * V, axis=0)
     quad = P1 - 2.0 * cov * P2 + cov**2 * Iii - (P2 - cov * Iii) ** 2 / Iii
     return jnp.maximum(sigma2_tot - quad, 0.0)
 
@@ -336,13 +341,16 @@ class MICEFastGP(GaussianProcess):
         C = cov * self.kernel.kernel_f(
             self._data.inputs, self._data.inputs, jnp.asarray(self._theta.corr_raw, dtype=dtype)
         )
-        invQ = self._artifacts.Kinv.solve(jnp.eye(self.n, dtype=dtype))
-        return C, invQ, cov + nugget, cov
+        # one stacked lower sweep for [C | I]: W = L^-1 C, V = L^-1
+        WV = self._artifacts.Kinv.solve_L(
+            jnp.concatenate([C, jnp.eye(self.n, dtype=dtype)], axis=1)
+        )
+        return WV[:, : self.n], WV[:, self.n :], cov + nugget, cov
 
     def fast_predict_all(self):
         """Vectorized ``fast_predict`` over every index (one matmul)."""
-        C, invQ, s2_tot, cov = self._loo_inputs()
-        return np.asarray(_loo_variances_all(C, invQ, s2_tot, cov))
+        W, V, s2_tot, cov = self._loo_inputs()
+        return np.asarray(_loo_variances_all(W, V, s2_tot, cov))
 
     def fast_predict(self, index):
         """Corrected variance for a single excluded index
