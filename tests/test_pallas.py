@@ -47,3 +47,41 @@ def test_pallas_batched_cholesky_interpret():
     Lb = np.asarray(cholesky_batched(jnp.asarray(A_bad), interpret=True))
     assert np.isnan(Lb[1]).any()
     assert np.isfinite(Lb[[0, 2, 3]]).all()
+
+
+def test_kernel_f_predict_matches_kernel_f():
+    """The production predict-path dispatch (kernel_f_predict) equals
+    kernel_f for every supported family; pallas path checked in
+    interpret mode."""
+    from mogp_tpu.ops.kernels import (
+        Matern52,
+        ProductMat52,
+        SquaredExponential,
+        UniformSqExp,
+    )
+    from mogp_tpu.ops.pallas_kernels import pallas_kernel_matrix
+
+    rng = np.random.RandomState(3)
+    x1 = rng.uniform(size=(9, 4))
+    x2 = rng.uniform(size=(7, 4))
+    for kernel in (SquaredExponential(), Matern52(), UniformSqExp(),
+                   ProductMat52()):
+        p = rng.uniform(-0.5, 0.5,
+                        size=1 if kernel.form == "uniform" else 4)
+        np.testing.assert_allclose(
+            np.asarray(kernel.kernel_f_predict(x1, x2, p)),
+            np.asarray(kernel.kernel_f(x1, x2, p)),
+            rtol=1e-10, atol=1e-12,
+        )
+    # the pallas kernel itself (interpret mode) against the jnp value
+    theta = rng.uniform(-0.5, 0.5, size=4)
+    scale = np.sqrt(np.exp(theta))
+    for base, kern in (("sqexp", SquaredExponential()), ("mat52", Matern52())):
+        got = np.asarray(pallas_kernel_matrix(
+            jnp.asarray(x1 * scale), jnp.asarray(x2 * scale),
+            base=base, interpret=True,
+        ))
+        np.testing.assert_allclose(
+            got, np.asarray(kern.kernel_f(x1, x2, theta)),
+            rtol=1e-6, atol=1e-8,
+        )
