@@ -135,13 +135,16 @@ def chol_k_tflops():
     em0 = mgp.emulators[0]
     data = _stack_pytrees([em._data for em in mgp.emulators])
     raws = jnp.zeros((n_outputs, em0.n_params), dtype=data.inputs.dtype)
-    arts = _batched_refit(raws, data, em0.kernel, em0.nugget_type)
-    jax.block_until_ready(arts)
+    # force full host materialization each iteration: over the axon
+    # tunnel, block_until_ready can return before execution finishes,
+    # which inflates rates to physically impossible values
+    np.asarray(_batched_refit(raws, data, em0.kernel, em0.nugget_type).logpost)
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        arts = _batched_refit(raws, data, em0.kernel, em0.nugget_type)
-    jax.block_until_ready(arts)
+        out = np.asarray(
+            _batched_refit(raws, data, em0.kernel, em0.nugget_type).logpost
+        )
     dt = (time.perf_counter() - t0) / iters
     flops = n_outputs * flops_gp_nlp(N_POINTS, N_DIM)
     return flops / dt / 1e12

@@ -62,8 +62,15 @@ class Timer:
         return self
 
     def sync(self, *outputs):
+        """Synchronize on device outputs.
+
+        Uses ``jax.device_get`` (host materialization) rather than
+        ``block_until_ready``: over the axon TPU tunnel the latter can
+        return before execution finishes, which silently inflates
+        measured rates.
+        """
         for out in outputs:
-            jax.block_until_ready(out)
+            jax.device_get(out)
 
     def __exit__(self, *exc):
         self.elapsed = time.perf_counter() - self._t0
