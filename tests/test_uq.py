@@ -402,3 +402,44 @@ def test_smc_multioutput():
     assert res.nroy_fraction > 0.8
     r = np.sqrt(np.sum(res.particles**2, axis=1))
     assert abs(r.mean() - 1.0) < 0.2
+
+
+def test_validation_oracles(fit_gp):
+    """Validation quantities against direct numpy computation
+    (reference semantics, validation.py:8-441)."""
+    rng2 = np.random.RandomState(17)
+    xv = rng2.uniform(size=(9, 2))
+    yv = np.sin(3 * xv[:, 0]) + xv[:, 1] ** 2
+
+    mu, var, _ = fit_gp.predict(xv)
+    errors, order = standard_errors(fit_gp, xv, yv)
+    # standard errors are (y - mu)/sqrt(var), ordered by decreasing var
+    expect_order = np.argsort(-np.asarray(var))
+    np.testing.assert_array_equal(order, expect_order)
+    # reference sign convention: (mean - target)/sqrt(var),
+    # validation.py StandardErrors.__call__
+    np.testing.assert_allclose(
+        errors, ((mu - yv) / np.sqrt(var))[expect_order], rtol=1e-8
+    )
+
+    # mahalanobis == full quadratic form with the predictive covariance
+    mu_f, cov, _ = fit_gp.predict(xv, full_cov=True)
+    M = mahalanobis(fit_gp, xv, yv)
+    expect_M = float((yv - mu_f) @ np.linalg.solve(cov, yv - mu_f))
+    np.testing.assert_allclose(M, expect_M, rtol=1e-6)
+
+    # ... and equals the sum of squared pivoted errors
+    perr, _ = pivoted_errors(fit_gp, xv, yv)
+    np.testing.assert_allclose(np.sum(np.asarray(perr) ** 2), expect_M,
+                               rtol=1e-6)
+
+
+def test_mahal_dist_mean(fit_gp):
+    """The reference scaled-F distribution has mean == n_valid points
+    (validation.py:98-130)."""
+    from mogp_tpu.uq.validation import generate_mahal_dist
+
+    rng2 = np.random.RandomState(23)
+    xv = rng2.uniform(size=(11, 2))
+    dist = generate_mahal_dist(fit_gp, xv)
+    assert abs(dist.mean() - 11.0) / 11.0 < 0.35
