@@ -68,19 +68,21 @@ def blocked_chol_min_n() -> int:
     """Matrix size above which the recursive blocked Cholesky/TRSMs
     (:mod:`mogp_tpu.ops.blocked`) replace the stock XLA kernels.
 
-    Only applies on TPU backends -- on CPU, XLA calls LAPACK directly,
-    which the blocked form cannot beat.  Override (including forcing the
-    blocked path on CPU for testing) with ``MOGP_TPU_BLOCKED_CHOL_MIN_N``;
-    0 or negative disables the blocked path entirely.
+    Default: DISABLED.  Measured on a v5e core (chained fori_loop
+    harness, median of 3 long runs; full table in
+    ``docs/tpu_performance.md``), XLA's stock Cholesky wins or ties the
+    recursive form at every size from 256 to 4096 except a ~6% blk128
+    win at n=4096 single-matrix, and wins at every size for the
+    6-candidate jitter-ladder batch the adaptive path actually runs.
+    The blocked kernels stay available -- algorithm-verified against
+    LAPACK oracles -- for other topologies via
+    ``MOGP_TPU_BLOCKED_CHOL_MIN_N`` (0 or negative disables).
     """
     env = os.environ.get("MOGP_TPU_BLOCKED_CHOL_MIN_N")
     if env is not None:
         v = int(env)
         return v if v > 0 else 1 << 62
-    # measured crossover on TPU v5e (see docs/tpu_performance.md): the
-    # recursive form wins from ~512 up; below that the stock kernel's
-    # latency is already at the floor
-    return 512 if is_tpu() else 1 << 62
+    return 1 << 62
 
 
 def use_pallas() -> bool:

@@ -147,8 +147,12 @@ def part3():
 
 if __name__ == "__main__":
     print("device:", jax.devices()[0].device_kind, flush=True)
-    part1()
-    part2()
-    part3()
+    parts = sys.argv[1:] or ["1", "2", "3"]
+    if "1" in parts:
+        part1()
+    if "2" in parts:
+        part2()
+    if "3" in parts:
+        part3()
     print("DONE", flush=True)
     time.sleep(2)  # drain before exit; avoid wedging the tunnel
