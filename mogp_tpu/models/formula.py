@@ -5,7 +5,7 @@ Covers the formula surface of the reference (``mogp_emulator/formula.py``:
 independent design: a regex lexer feeding a recursive-descent parser that
 builds the ``MeanBase`` tree directly from the grammar
 
-    formula := [IDENT ('=' | '~')] expr
+    formula := [[IDENT] ('=' | '~')] expr
     expr    := term ('+' term)*
     term    := unary ('*' unary)*
     unary   := power
@@ -104,13 +104,15 @@ class _Parser:
     # grammar rules ------------------------------------------------------
 
     def parse(self):
-        # optional response name: "y = expr" / "y ~ expr"
+        # optional response prefix: "y = expr" / "y ~ expr" / bare "~ expr"
         if (
             len(self.tokens) >= 2
             and self.tokens[0][0] == "IDENT"
             and self.tokens[1][0] == "ASSIGN"
         ):
             self.pos = 2
+        elif self.tokens and self.tokens[0][0] == "ASSIGN":
+            self.pos = 1
         node = self.expr()
         if self.pos != len(self.tokens):
             k, text = self.peek()

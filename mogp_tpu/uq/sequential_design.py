@@ -403,9 +403,9 @@ class MICEDesign(SequentialDesign):
         assert 0 <= data_point < self.n_cand, "test point index is out of range"
         _, unc1, _ = self.gp.predict(self.candidates[data_point], unc=True)
         unc2 = self.gp_fast.fast_predict(data_point)
-        mice_criter = unc1 / unc2
+        mice_criter = float(np.asarray(unc1).ravel()[0]) / unc2
         assert np.isfinite(mice_criter), "error in computing MICE criteria"
-        return float(mice_criter)
+        return mice_criter
 
     def _eval_metric(self):
         """Fit base + candidate GPs, score all candidates at once
