@@ -211,12 +211,13 @@ class GPParams:
                 and self.nugget_type == other.nugget_type
             )
         try:
-            return np.asarray(other).shape == (self.n_params,)
-        except Exception:
+            arr = np.asarray(other, dtype=np.float64)
+        except (TypeError, ValueError):
             raise ValueError(
                 "other must be a numpy array or another GPParams object "
                 "in GPParams.same_shape"
             )
+        return arr.shape == (self.n_params,)
 
     def __str__(self):
         if self._data is None:
