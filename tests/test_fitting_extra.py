@@ -1,0 +1,133 @@
+"""Extended fitting-driver surface tests.
+
+Completes the reference ``tests/test_fitting.py`` coverage of the
+``fit_GP_MAP`` entry point: every multi-output ``theta0`` convention
+(broadcast 1D, per-output 2D, list with ``None`` holes), theta0 shape
+rejection grid, argument validation, and refit interaction with
+explicit starts (``fitting.py:294-326`` semantics).
+"""
+
+import numpy as np
+import pytest
+from numpy.testing import assert_allclose
+
+from mogp_tpu import GaussianProcess, MultiOutputGP, fit_GP_MAP
+
+rng = np.random.RandomState(17)
+X = rng.rand(20, 2)
+Y2 = np.stack([np.sin(3 * X[:, 0]) + X[:, 1],
+               np.cos(2 * X[:, 1]) - X[:, 0]])
+
+
+def n_params_of(mgp):
+    return mgp.emulators[0].n_params
+
+
+def test_mogp_theta0_broadcast_1d():
+    np.random.seed(50)
+    mgp = MultiOutputGP(X, Y2)
+    mgp = fit_GP_MAP(mgp, n_tries=2, theta0=np.zeros(n_params_of(mgp)))
+    assert mgp.get_indices_not_fit() == []
+
+
+def test_mogp_theta0_per_output_2d():
+    np.random.seed(51)
+    mgp = MultiOutputGP(X, Y2)
+    t0 = np.zeros((2, n_params_of(mgp)))
+    t0[1] += 0.5
+    mgp = fit_GP_MAP(mgp, n_tries=2, theta0=t0)
+    assert mgp.get_indices_not_fit() == []
+
+
+def test_mogp_theta0_list_with_none_holes():
+    np.random.seed(52)
+    mgp = MultiOutputGP(X, Y2)
+    mgp = fit_GP_MAP(mgp, n_tries=2,
+                     theta0=[None, np.zeros(n_params_of(mgp))])
+    assert mgp.get_indices_not_fit() == []
+
+
+def test_mogp_theta0_bad_shapes():
+    mgp = MultiOutputGP(X, Y2)
+    P = n_params_of(mgp)
+    with pytest.raises(AssertionError):
+        fit_GP_MAP(mgp, theta0=np.zeros((3, P)))  # wrong output count
+    with pytest.raises(AssertionError):
+        fit_GP_MAP(mgp, theta0=np.zeros((2, 1)))  # wrong param count
+    with pytest.raises(AssertionError):
+        fit_GP_MAP(mgp, theta0=np.zeros((1, 1, 1)))  # 3D
+    with pytest.raises(AssertionError):
+        fit_GP_MAP(mgp, theta0=[np.zeros(P)])  # wrong list length
+    with pytest.raises(AssertionError):
+        fit_GP_MAP(mgp, theta0=[np.zeros(1), np.zeros(2)])  # bad entries
+
+
+def test_n_tries_validation():
+    gp = GaussianProcess(X, Y2[0])
+    mgp = MultiOutputGP(X, Y2)
+    with pytest.raises(AssertionError):
+        fit_GP_MAP(gp, n_tries=-1)
+    with pytest.raises(AssertionError):
+        fit_GP_MAP(mgp, n_tries=0)
+
+
+def test_method_fallback_warns():
+    """Non-device methods warn and fall back to batched L-BFGS (this
+    framework's documented deviation from scipy method dispatch)."""
+    np.random.seed(57)
+    gp = GaussianProcess(X, Y2[0])
+    with pytest.warns(UserWarning, match="not available on device"):
+        fit_GP_MAP(gp, n_tries=1, method="Simplex")
+    assert gp.theta.get_data() is not None
+
+
+def test_single_positional_arg_must_be_gp():
+    with pytest.raises(TypeError):
+        fit_GP_MAP(np.zeros((5, 2)))
+
+
+def test_refit_with_explicit_theta0_preserves_fit_emulators():
+    """refit=False leaves fitted emulators at their current parameters
+    even when theta0 is supplied (fitting.py:319-326)."""
+    np.random.seed(53)
+    mgp = MultiOutputGP(X, Y2)
+    P = n_params_of(mgp)
+    mgp.emulators[0].fit(np.ones(P))
+    mgp = fit_GP_MAP(mgp, n_tries=1, theta0=np.zeros(P), refit=False)
+    assert_allclose(mgp.emulators[0].theta.get_data(), np.ones(P))
+    assert mgp.emulators[1].theta.get_data() is not None
+    # with refit=True the pre-set parameters are replaced
+    np.random.seed(53)
+    mgp = fit_GP_MAP(mgp, n_tries=1, theta0=np.zeros(P), refit=True)
+    assert not np.allclose(mgp.emulators[0].theta.get_data(), np.ones(P))
+
+
+def test_single_gp_theta0_used_as_first_start():
+    """With n_tries=1 and an explicit start the optimizer must begin
+    there: fitting an already-optimal GP again from its solution cannot
+    worsen the log posterior."""
+    np.random.seed(54)
+    gp = fit_GP_MAP(GaussianProcess(X, Y2[0]), n_tries=3)
+    lp1 = gp.current_logpost
+    gp2 = fit_GP_MAP(GaussianProcess(X, Y2[0]), n_tries=1,
+                     theta0=np.asarray(gp.theta.get_data()))
+    assert gp2.current_logpost <= lp1 + 1e-3
+
+
+def test_constructor_kwargs_forwarded():
+    np.random.seed(55)
+    gp = fit_GP_MAP(X, Y2[0], nugget=1e-4, kernel="Matern52", n_tries=2)
+    assert isinstance(gp, GaussianProcess)
+    assert gp.nugget_type == "fixed"
+    assert gp.nugget == pytest.approx(1e-4)
+    assert type(gp.kernel).__name__ == "Matern52"
+
+
+def test_fit_returns_same_object():
+    np.random.seed(56)
+    gp = GaussianProcess(X, Y2[0])
+    out = fit_GP_MAP(gp, n_tries=2)
+    assert out is gp
+    mgp = MultiOutputGP(X, Y2)
+    out = fit_GP_MAP(mgp, n_tries=2)
+    assert out is mgp
