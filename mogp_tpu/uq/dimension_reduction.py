@@ -97,10 +97,8 @@ class gKDR:
 
         Y = np.reshape(np.asarray(Y, dtype=np.float64), (N, 1))
 
-        if SGX is None:
-            SGX = X_scale * median_dist(X)
-        if SGY is None:
-            SGY = Y_scale * median_dist(Y)
+        SGX = X_scale * median_dist(X) if SGX is None else SGX
+        SGY = Y_scale * median_dist(Y) if SGY is None else SGY
 
         SGX2 = max(SGX * SGX, sys.float_info.min)
         SGY2 = max(SGY * SGY, sys.float_info.min)
@@ -126,17 +124,17 @@ class gKDR:
         """Cross-validated L1 loss of a model on gKDR-reduced inputs
         (``DimensionReduction.py:252-306``)."""
         XY = np.hstack((X, Y[:, np.newaxis]))
-        err = []
-        for train, validate in k_fold_cross_validation(XY, cross_validation_folds):
-            train = np.array(train)
-            validate = np.array(validate)
-            dr = gKDR(train[:, 0:-1], train[:, -1], *params, **kwparams)
-            model = train_model(dr(train[:, 0:-1]), train[:, -1])
-            error_L1 = np.mean(
-                np.abs(validate[:, -1] - model(dr(validate[:, 0:-1])))
+        fold_losses = []
+        for fold_train, fold_val in k_fold_cross_validation(
+            XY, cross_validation_folds
+        ):
+            tr, va = np.array(fold_train), np.array(fold_val)
+            dr = gKDR(tr[:, :-1], tr[:, -1], *params, **kwparams)
+            model = train_model(dr(tr[:, :-1]), tr[:, -1])
+            fold_losses.append(
+                np.mean(np.abs(va[:, -1] - model(dr(va[:, :-1]))))
             )
-            err.append(error_L1)
-        return np.mean(err)
+        return np.mean(fold_losses)
 
     @classmethod
     def tune_parameters(cls, X, Y, train_model, cXs=None, cYs=None, maxK=None,
@@ -146,12 +144,10 @@ class gKDR:
         X = np.asarray(X)
         Y = np.asarray(Y)
         N, M = X.shape
-        if cXs is None:
-            cXs = [0.5, 1.0, 5.0]
-        if cYs is None:
-            cYs = [0.5, 1.0, 5.0]
-        if maxK is None:
-            maxK = M
+        default_scales = (0.5, 1.0, 5.0)
+        cXs = list(default_scales) if cXs is None else cXs
+        cYs = list(default_scales) if cYs is None else cYs
+        maxK = M if maxK is None else maxK
         assert 1 <= maxK <= M
 
         # K ladder: 1, 2, 4, ... capped at maxK (the reference walks the
