@@ -19,6 +19,20 @@ os.environ["XLA_FLAGS"] = (
 os.environ["MOGP_TPU_DISABLE_PALLAS"] = "1"
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled programs after each test module.
+
+    The full suite compiles thousands of unique CPU programs in one
+    process; letting them accumulate has crashed the XLA CPU backend
+    (segfault in ``backend_compile_and_load``) near the end of long
+    runs.  Per-module clearing bounds the executable cache at a small
+    recompile cost (the per-module working set is small)."""
+    yield
+    jax.clear_caches()
