@@ -20,6 +20,7 @@ __all__ = [
     "use_pallas",
     "enable_compile_cache",
     "blocked_chol_min_n",
+    "batch_blocked_leaf",
 ]
 
 
@@ -83,6 +84,28 @@ def blocked_chol_min_n() -> int:
         v = int(env)
         return v if v > 0 else 1 << 62
     return 1 << 62
+
+
+def batch_blocked_leaf() -> int:
+    """Leaf size for the batched small-n blocked Cholesky/TRSM dispatch,
+    or 0 when disabled.
+
+    Distinct from the large-n axis (:func:`blocked_chol_min_n`): at the
+    HEADLINE batched shape (hundreds of lanes, n ~ 200) the recursive
+    blocked kernels beat XLA's stock batched ops on a v5e core
+    (loop-slope, 240 lanes, n=210, f32: Cholesky 29.1 vs 38.4 us/matrix
+    at leaf=32; 2-col lower TRSM 1.54 vs 6.02 ms at leaf=64 -- the
+    batched column-sweep solve is badly latency-bound).  Enabled by
+    default on TPU backends; off elsewhere (the CPU f64 oracle suite
+    times stock LAPACK-shaped paths).  Override with
+    ``MOGP_TPU_BATCH_BLOCKED_LEAF`` (0 disables; keep leaves <= 64 --
+    leaf=128 at n=210 trips an XLA scoped-vmem overflow in the stock
+    block-inverse the leaves call).
+    """
+    env = os.environ.get("MOGP_TPU_BATCH_BLOCKED_LEAF")
+    if env is not None:
+        return max(0, int(env))
+    return 32 if is_tpu() else 0
 
 
 def use_pallas() -> bool:

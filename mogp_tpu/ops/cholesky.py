@@ -31,8 +31,13 @@ from jax import lax
 from jax.scipy.linalg import solve_triangular
 from jax.scipy.special import gammaln
 
-from ..config import blocked_chol_min_n
+from ..config import batch_blocked_leaf, blocked_chol_min_n
 from . import blocked
+
+# blocked TRSM leaf for the batched small-n dispatch: 64 measured best
+# for the 2-col lower sweep at (240, 210); leaves >= 128 at n ~ 210 trip
+# an XLA scoped-vmem overflow in the stock block-inverse the leaves call
+_TRSM_LEAF = 64
 
 __all__ = [
     "ChoFactor",
@@ -53,41 +58,62 @@ def _use_blocked(n):
     return n >= blocked_chol_min_n()
 
 
+def _batch_leaf(n):
+    """Leaf for the batched small-n blocked dispatch, or 0 when stock
+    XLA should be used at size ``n`` (see ``config.batch_blocked_leaf``)."""
+    leaf = batch_blocked_leaf()
+    if leaf and leaf < n < blocked_chol_min_n():
+        return leaf
+    return 0
+
+
 def _chol(A):
     """Lower Cholesky; XLA fills the result with NaNs when not PD.
 
-    Large matrices dispatch to the recursive blocked factorization
-    (:func:`mogp_tpu.ops.blocked.recursive_cholesky`) so the O(n^3) work
-    runs as MXU matmuls instead of XLA's stock panel schedule.
+    Two blocked dispatches replace XLA's stock panel schedule
+    (:mod:`mogp_tpu.ops.blocked`): large single matrices above
+    ``blocked_chol_min_n``, and -- the production fit path -- batched
+    small-n lanes, where the recursive form with a small leaf measures
+    ~24% faster than the stock batched factorization on v5e.
     """
-    if _use_blocked(A.shape[-1]):
+    n = A.shape[-1]
+    if _use_blocked(n):
         return blocked.recursive_cholesky(A)
+    leaf = _batch_leaf(n)
+    if leaf:
+        return blocked.recursive_cholesky(A, leaf=leaf)
     return lax.linalg.cholesky(A)
 
 
 def _solve_lower(L, b):
-    """Solve ``L x = b`` (lower), dispatching to the blocked TRSM at large n."""
+    """Solve ``L x = b`` (lower); blocked TRSM at large n and for the
+    batched small-n dispatch (the stock batched column sweep is
+    latency-bound: 4x slower at (240, 210, 2-col) on v5e)."""
     vec = b.ndim == L.ndim - 1
     if vec:
         b = b[..., None]
-    x = (
-        blocked.trsm_left_lower(L, b)
-        if _use_blocked(L.shape[-1])
-        else solve_triangular(L, b, lower=True)
-    )
+    n = L.shape[-1]
+    if _use_blocked(n):
+        x = blocked.trsm_left_lower(L, b)
+    elif _batch_leaf(n):
+        x = blocked.trsm_left_lower(L, b, leaf=_TRSM_LEAF)
+    else:
+        x = solve_triangular(L, b, lower=True)
     return x[..., 0] if vec else x
 
 
 def _solve_lower_t(L, b):
-    """Solve ``L^T x = b`` (upper sweep), blocked TRSM at large n."""
+    """Solve ``L^T x = b`` (upper sweep), blocked TRSM as above."""
     vec = b.ndim == L.ndim - 1
     if vec:
         b = b[..., None]
-    x = (
-        blocked.trsm_left_lt(L, b)
-        if _use_blocked(L.shape[-1])
-        else solve_triangular(L.T, b, lower=False)
-    )
+    n = L.shape[-1]
+    if _use_blocked(n):
+        x = blocked.trsm_left_lt(L, b)
+    elif _batch_leaf(n):
+        x = blocked.trsm_left_lt(L, b, leaf=_TRSM_LEAF)
+    else:
+        x = solve_triangular(L.T, b, lower=False)
     return x[..., 0] if vec else x
 
 

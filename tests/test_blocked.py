@@ -148,3 +148,43 @@ def test_large_n_adaptive_objective_parity(monkeypatch):
 
     assert_allclose(lp_b, lp_x, rtol=1e-8)
     assert_allclose(dlp_b, dlp_x, rtol=1e-6, atol=1e-8)
+
+
+def test_batch_blocked_small_n_parity(monkeypatch):
+    """The batched small-n blocked dispatch (production TPU fit path,
+    config.batch_blocked_leaf) matches the stock path for a full
+    batched fit + predict in f64.
+
+    Uses a shape unique to this test (n=151) so cached traces from the
+    default-dispatch suite are not reused.
+    """
+    from mogp_tpu import MultiOutputGP, fit_GP_MAP
+
+    n, d = 151, 3
+    r = np.random.RandomState(19)
+    x = r.uniform(size=(n, d))
+    ys = np.stack([
+        np.sin(3 * x[:, 0]) + 0.05 * r.randn(n),
+        x[:, 1] ** 2 - x[:, 2] + 0.05 * r.randn(n),
+    ])
+
+    def fit_all():
+        np.random.seed(5)
+        mgp = fit_GP_MAP(MultiOutputGP(x, ys, nugget="adaptive"),
+                         n_tries=2, maxiter=25)
+        res = mgp.predict(x[:16] + 0.003)
+        return (
+            [np.asarray(em.theta.get_data()) for em in mgp.emulators],
+            np.asarray(res.mean),
+            np.asarray(res.unc),
+        )
+
+    monkeypatch.setenv("MOGP_TPU_BATCH_BLOCKED_LEAF", "32")
+    t_b, mu_b, var_b = fit_all()
+    monkeypatch.setenv("MOGP_TPU_BATCH_BLOCKED_LEAF", "0")
+    t_x, mu_x, var_x = fit_all()
+
+    for a, b in zip(t_b, t_x):
+        assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+    assert_allclose(mu_b, mu_x, rtol=1e-6, atol=1e-8)
+    assert_allclose(var_b, var_x, rtol=1e-4, atol=1e-10)

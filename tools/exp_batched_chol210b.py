@@ -1,0 +1,87 @@
+"""Follow-up sweep: leaf sizes for the batched recursive Cholesky and
+blocked vs stock TRSM at the headline shape (240, 210, 210) f32."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "MOGP_TPU_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+from mogp_tpu.ops import blocked
+
+B = int(os.environ.get("EXP_B", "240"))
+N = int(os.environ.get("EXP_N", "210"))
+M = int(os.environ.get("EXP_M", "2"))  # RHS cols for the TRSM test
+ITERS = int(os.environ.get("EXP_ITERS", "30"))
+
+
+def loop_time(fn, *arrs, iters=ITERS):
+    @jax.jit
+    def run(arrs):
+        def body(i, carry):
+            salt, arrs = carry
+            out = fn(*arrs, salt)
+            return (jnp.sum(out) * 0.0, arrs)
+
+        return lax.fori_loop(0, iters, body, (jnp.zeros((), arrs[0].dtype), arrs))[0]
+
+    np.asarray(run(arrs))
+    t0 = time.perf_counter()
+    np.asarray(run(arrs))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    print("devices:", jax.devices(), "B", B, "N", N, "M", M)
+    rng = np.random.RandomState(0)
+    X = rng.randn(B, N, N).astype(np.float32)
+    A = jnp.asarray(X @ np.transpose(X, (0, 2, 1)) + N * np.eye(N, dtype=np.float32))
+    L = lax.linalg.cholesky(A)
+    rhs = jnp.asarray(rng.randn(B, N, M).astype(np.float32))
+    rhsN = jnp.asarray(rng.randn(B, N, N).astype(np.float32))
+
+    for leaf in (32, 48, 64, 80, 96):
+        t = loop_time(
+            lambda a, s: blocked.recursive_cholesky(
+                a + s * jnp.eye(N, dtype=a.dtype), leaf=leaf
+            )[..., -1, -1],
+            A,
+        )
+        print(f"chol leaf={leaf:3d}: {t*1e3:7.2f} ms ({t/B*1e6:5.1f} us/matrix)")
+
+    t = loop_time(
+        lambda l, b, s: solve_triangular(l, b + s, lower=True)[..., -1, :], L, rhs
+    )
+    print(f"stock TRSM rhs={M}: {t*1e3:7.2f} ms")
+    for leaf in (64, 128):
+        t = loop_time(
+            lambda l, b, s, leaf=leaf: blocked.trsm_left_lower(l, b + s, leaf=leaf)[..., -1, :],
+            L, rhs,
+        )
+        print(f"blocked TRSM leaf={leaf} rhs={M}: {t*1e3:7.2f} ms")
+
+    t = loop_time(
+        lambda l, b, s: solve_triangular(l, b + s, lower=True)[..., -1, :], L, rhsN
+    )
+    print(f"stock TRSM rhs={N}: {t*1e3:7.2f} ms")
+    for leaf in (64, 128):
+        t = loop_time(
+            lambda l, b, s, leaf=leaf: blocked.trsm_left_lower(l, b + s, leaf=leaf)[..., -1, :],
+            L, rhsN,
+        )
+        print(f"blocked TRSM leaf={leaf} rhs={N}: {t*1e3:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
