@@ -247,8 +247,30 @@ def main():
             )
             raise
 
-    # secondary metrics (BASELINE.md asks for all three + a quality gate);
-    # each is optional and time-budgeted so the primary line always lands
+    def emit(extras):
+        print(
+            json.dumps(
+                {
+                    "metric": "mogp_tsunami_fits_per_sec",
+                    "value": round(result, 3),
+                    "unit": "emulator_fits/s ({} x {} restarts, n={}, D={}, {})".format(
+                        label, N_TRIES, N_POINTS, N_DIM, backend
+                    ),
+                    "vs_baseline": round(result / BASELINE_FITS_PER_SEC, 3),
+                    **extras,
+                }
+            ),
+            flush=True,
+        )
+
+    # the primary line lands BEFORE the extras: an extra that stalls in
+    # the remote-compile service (fresh program shapes can take >15 min
+    # there) must not cost the headline metric if the driver's timeout
+    # fires mid-extras.  The enriched line re-prints afterwards; a
+    # consumer taking the last JSON line gets extras when they complete.
+    emit({})
+
+    # secondary metrics (BASELINE.md asks for all three + a quality gate)
     extras = {}
     budget_ok = lambda: time.time() - start < 480  # noqa: E731
     if backend != "cpu-fallback":
@@ -264,19 +286,8 @@ def main():
             except Exception as exc:  # pragma: no cover - defensive
                 extras[key] = "failed: {}".format(type(exc).__name__)
 
-    print(
-        json.dumps(
-            {
-                "metric": "mogp_tsunami_fits_per_sec",
-                "value": round(result, 3),
-                "unit": "emulator_fits/s ({} x {} restarts, n={}, D={}, {})".format(
-                    label, N_TRIES, N_POINTS, N_DIM, backend
-                ),
-                "vs_baseline": round(result / BASELINE_FITS_PER_SEC, 3),
-                **extras,
-            }
-        )
-    )
+    if extras:
+        emit(extras)
 
 
 if __name__ == "__main__":
