@@ -34,10 +34,11 @@ from jax.scipy.special import gammaln
 from ..config import batch_blocked_leaf, blocked_chol_min_n
 from . import blocked
 
-# blocked TRSM leaf for the batched small-n dispatch: 64 measured best
-# for the 2-col lower sweep at (240, 210); leaves >= 128 at n ~ 210 trip
-# an XLA scoped-vmem overflow in the stock block-inverse the leaves call
-_TRSM_LEAF = 64
+# blocked TRSM leaf for the batched small-n dispatch: 32 measured best
+# for both sweeps at (240, 210, 2-col) on v5e (lower 1.26 ms vs stock
+# 6.02; upper 0.93 ms vs stock 6.08); leaves >= 128 at n ~ 210 trip an
+# XLA scoped-vmem overflow in the stock block-inverse the leaves call
+_TRSM_LEAF = 32
 
 __all__ = [
     "ChoFactor",
