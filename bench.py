@@ -232,7 +232,9 @@ def main():
         # 240-lane program) must not push the run into the fallback
         warmed_elapsed = n_first / max(fps, 1e-9)  # warm exec time, 1st run
         if backend != "cpu-fallback" and warmed_elapsed < 120:
-            fps64, mgp_last = timed_fit(64, warmed=True)
+            # warmed=False: the 64-output config has its own phase-B
+            # program shape; warm exactly the shapes being timed
+            fps64, mgp_last = timed_fit(64, warmed=False)
             trace("timed 64 outputs: {:.2f} fits/s".format(fps64))
             result, label = fps64, "64 outputs"
             # the axon tunnel intermittently degrades dispatch latency by

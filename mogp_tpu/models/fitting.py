@@ -329,9 +329,16 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
                 np.where(np.isfinite(fun_a), fun_a, np.inf), axis=1
             )[:, :keep]
             starts_b = np.take_along_axis(xs_a, order[:, :, None], axis=1)
+            # phase B sizes its own chunks (chunk=None -> fill _MAX_LANES
+            # with `keep` lanes per output): reusing phase A's
+            # outputs-per-chunk quantum left phase B running `keep`-lane
+            # slivers (e.g. 48 of 240 lanes), where the latency-bound
+            # per-lane cost is several times worse.  Costs one extra
+            # compiled shape per group size, paid once via the
+            # persistent cache.
             fun, xs = _run_fit_chunked(
                 ems, starts_b, em0.kernel, em0.nugget_type, phase_b, gtol,
-                ftol, ladder, dtype, chunk=chunk_q,
+                ftol, ladder, dtype,
             )
 
         best_raw = np.empty((G, starts.shape[-1]), dtype=np.float64)
