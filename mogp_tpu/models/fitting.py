@@ -100,17 +100,17 @@ def _gather_starts(gp, n_tries, theta0):
     """Starting points: ``theta0`` first (if given), prior samples after
     (``fitting.py:239-242``).  Host-side numpy RNG for reproducibility
     with seeded reference workflows."""
-    starts = []
-    for i in range(n_tries):
-        if i == 0 and theta0 is not None:
-            theta = np.array(theta0, dtype=np.float64)
-            assert theta.shape == (gp.n_params,), (
-                "theta0 must be a 1D array with length n_params"
-            )
-            starts.append(theta)
-        else:
-            starts.append(np.asarray(gp.priors.sample(), dtype=np.float64))
-    return np.stack(starts)
+    n_sampled = n_tries
+    head = []
+    if theta0 is not None:
+        theta = np.array(theta0, dtype=np.float64)
+        assert theta.shape == (gp.n_params,), (
+            "theta0 must be a 1D array with length n_params"
+        )
+        head = [theta[None, :]]
+        n_sampled -= 1
+    sampled = np.asarray(gp.priors.sample_n(n_sampled), dtype=np.float64)
+    return np.concatenate(head + [sampled], axis=0) if head else sampled
 
 
 # Upper bound on concurrent (output x restart) L-BFGS lanes per compiled

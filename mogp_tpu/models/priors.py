@@ -175,6 +175,10 @@ class WeakPrior:
     def sample(self, transform=None):
         return float(5.0 * (np.random.rand() - 0.5))
 
+    def sample_n(self, transform=None, n=1):
+        """Vectorized :meth:`sample`: ``n`` draws in one RNG call."""
+        return 5.0 * (np.random.rand(n) - 0.5)
+
 
 class PriorDist(WeakPrior):
     """Base for proper prior distributions (``Priors.py:688-803``)."""
@@ -224,6 +228,14 @@ class PriorDist(WeakPrior):
     def sample(self, transform):
         return float(np.asarray(transform.inv_transform(self.sample_x())))
 
+    def sample_x_n(self, n):
+        """Vectorized :meth:`sample_x`; subclasses draw ``rvs(size=n)``."""
+        return np.array([self.sample_x() for _ in range(n)])
+
+    def sample_n(self, transform, n=1):
+        """``n`` raw-space samples in one vectorized draw."""
+        return np.asarray(transform.inv_transform(self.sample_x_n(n)))
+
     def dlogpdx(self, x):
         return float(jax.grad(self.logp)(jnp.asarray(x, dtype=jnp.result_type(float))))
 
@@ -253,6 +265,9 @@ class NormalPrior(PriorDist):
     def sample_x(self):
         return float(scipy.stats.norm.rvs(size=1, loc=self.mean, scale=self.std)[0])
 
+    def sample_x_n(self, n):
+        return scipy.stats.norm.rvs(size=n, loc=self.mean, scale=self.std)
+
 
 class LogNormalPrior(PriorDist):
     """Lognormal prior, params (shape, scale) (``Priors.py:863-925``)."""
@@ -277,6 +292,9 @@ class LogNormalPrior(PriorDist):
             scipy.stats.lognorm.rvs(size=1, s=self.shape, scale=self.scale)[0]
         )
 
+    def sample_x_n(self, n):
+        return scipy.stats.lognorm.rvs(size=n, s=self.shape, scale=self.scale)
+
 
 class GammaPrior(PriorDist):
     """Gamma prior, params (shape, scale) (``Priors.py:926-990``)."""
@@ -298,6 +316,9 @@ class GammaPrior(PriorDist):
 
     def sample_x(self):
         return float(scipy.stats.gamma.rvs(size=1, a=self.shape, scale=self.scale)[0])
+
+    def sample_x_n(self, n):
+        return scipy.stats.gamma.rvs(size=n, a=self.shape, scale=self.scale)
 
 
 class InvGammaPrior(PriorDist):
@@ -361,6 +382,9 @@ class InvGammaPrior(PriorDist):
         return float(
             scipy.stats.invgamma.rvs(size=1, a=self.shape, scale=self.scale)[0]
         )
+
+    def sample_x_n(self, n):
+        return scipy.stats.invgamma.rvs(size=n, a=self.shape, scale=self.scale)
 
 
 # ---------------------------------------------------------------------------
@@ -759,6 +783,21 @@ class GPPriors:
         if self.nugget_type == "fit":
             sample_pt.append(self._nugget.sample(CovTransform))
         return np.array(sample_pt)
+
+    def sample_n(self, n):
+        """``n`` host-side samples, shape ``(n, n_params)``.
+
+        One vectorized ``rvs``/``rand`` call per parameter slot instead of
+        ``n * n_params`` scalar draws -- scipy's per-call overhead (~50 us)
+        dominates restart-start generation for large MultiOutputGP fits.
+        Consumes the numpy RNG slot-major (``sample`` is try-major), so
+        seeded runs differ from a loop of :meth:`sample` but remain
+        deterministic."""
+        cols = [dist.sample_n(CorrTransform, n) for dist in self._corr]
+        cols.append(self._cov.sample_n(CovTransform, n))
+        if self.nugget_type == "fit":
+            cols.append(self._nugget.sample_n(CovTransform, n))
+        return np.stack(cols, axis=1)
 
     def __str__(self):
         return "GPPriors with {} corr priors, cov prior {}, nugget type {}".format(
