@@ -208,9 +208,7 @@ class ExperimentalDesign:
 class MonteCarloDesign(ExperimentalDesign):
     """Monte Carlo design (``ExperimentalDesign.py:297-430``)."""
 
-    def __init__(self, *args):
-        self.method = "Monte Carlo"
-        super().__init__(*args)
+    method = "Monte Carlo"
 
     def _draw_samples(self, n_samples, **kwargs):
         return np.random.random((int(n_samples), self.get_n_parameters()))
@@ -220,9 +218,7 @@ class LatinHypercubeDesign(ExperimentalDesign):
     """Latin Hypercube design (``ExperimentalDesign.py:432-584``): each
     sample occupies a unique stratum of each parameter's distribution."""
 
-    def __init__(self, *args):
-        self.method = "Latin Hypercube"
-        super().__init__(*args)
+    method = "Latin Hypercube"
 
     def _draw_samples(self, n_samples, **kwargs):
         n_samples = int(n_samples)
@@ -261,9 +257,7 @@ class MaxiMinLHC(LatinHypercubeDesign):
     ``n_tries`` LHC draws, keep the one maximizing the minimum pairwise
     distance.  All candidates are generated and scored in one batch."""
 
-    def __init__(self, *args):
-        self.method = "MaxiMinLHC"
-        super().__init__(*args)
+    method = "MaxiMinLHC"
 
     def _draw_samples(self, n_samples, n_tries=1000, **kwargs):
         n_samples = int(n_samples)
