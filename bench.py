@@ -96,9 +96,10 @@ def quality_gap(mgp_fast, n_check=16):
     return _mean_nlp(mgp_fast, rows) - _mean_nlp(strict, rows)
 
 
-def nuts_ess_per_sec():
+def nuts_ess_per_sec(n_chains=4, n_samples=200, n_warmup=200):
     """BASELINE metric #2: min-ESS/s for a tsunami-shaped GP
-    hyperparameter posterior (4 vmapped chains)."""
+    hyperparameter posterior (vmapped chains; ``n_chains=64`` is the
+    BASELINE config-3 64-chain figure)."""
     from mogp_tpu import GaussianProcess, fit_GP_MAP
     from mogp_tpu.models.inference import sample_GP_MCMC
     from mogp_tpu.utils.metrics import ess_per_sec
@@ -109,7 +110,6 @@ def nuts_ess_per_sec():
     np.random.seed(2)
     gp = fit_GP_MAP(GaussianProcess(inputs, targets, nugget="fit"),
                     n_tries=4, maxiter=50)
-    n_chains, n_samples, n_warmup = 4, 200, 200
     sample_GP_MCMC(gp, n_samples=8, n_warmup=8, n_chains=n_chains,
                    theta0=gp.theta.get_data(), seed=0)  # compile
     t0 = time.perf_counter()
@@ -117,6 +117,50 @@ def nuts_ess_per_sec():
                          n_chains=n_chains, theta0=gp.theta.get_data(), seed=1)
     dt = time.perf_counter() - t0
     return ess_per_sec(res.ess, dt)
+
+
+def large_n_tflops(n=4096, iters=5):
+    """BASELINE metric #3 in the regime where TFLOP/s is meaningful: the
+    n=4096 fit-artifact program (K build + full jitter ladder + solves),
+    matching ``benchmarks/benchmark_large_n.py``'s headline point."""
+    from mogp_tpu import GaussianProcess
+    from mogp_tpu.utils.metrics import flops_gp_nlp
+
+    rng = np.random.RandomState(0)
+    D = 8
+    x = rng.uniform(size=(n, D))
+    y = np.sin(4 * x[:, 0]) * np.cos(2 * x[:, 1]) + x[:, 2:].sum(axis=1)
+    theta = np.concatenate([0.2 * np.ones(D), [0.5]])
+    gp = GaussianProcess(x, y, nugget="adaptive")
+    gp.fit(theta)
+    float(gp.current_logpost)  # compile + host pull
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        gp.fit(theta)
+        float(gp.current_logpost)  # host pull: honest timing over the tunnel
+    dt = (time.perf_counter() - t0) / iters
+    return flops_gp_nlp(n, D) / dt / 1e12
+
+
+def sweep_points_per_sec(n_query=1_000_000):
+    """BASELINE config-5 axis: memory-bounded predictive sweep throughput
+    (query-tiled ``gp_predict_tiled``, HBM bounded by the (n, tile)
+    working set -- the reference GPU path's ``max_batch_size`` batching,
+    ``GaussianProcessGPU.py:608-626``)."""
+    from mogp_tpu import GaussianProcess, fit_GP_MAP
+
+    rng = np.random.RandomState(11)
+    inputs = rng.uniform(0.0, 1.0, size=(N_POINTS, N_DIM))
+    targets = np.sin(3 * inputs[:, 0]) + inputs[:, 1] ** 2 + 0.1 * inputs.sum(1)
+    np.random.seed(3)
+    gp = fit_GP_MAP(GaussianProcess(inputs, targets), n_tries=4, maxiter=50)
+    queries = rng.uniform(0.0, 1.0, size=(n_query, N_DIM))
+    gp.predict(queries, max_batch_size=32768)  # compile the sweep program
+    t0 = time.perf_counter()
+    res = gp.predict(queries, max_batch_size=32768)
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(res.mean))
+    return n_query / dt
 
 
 def chol_k_tflops():
@@ -215,6 +259,7 @@ def main():
     result = None
     label = None
     mgp_last = None
+    samples64 = []  # every 64-output measurement (best-of-N transparency)
     # budgets below are measured from AFTER the warmup: loading/uploading
     # the cached fit executables through the tunnel can itself take
     # minutes and must not eat the repeat/extras budgets
@@ -237,14 +282,18 @@ def main():
             fps64, mgp_last = timed_fit(64, warmed=False)
             trace("timed 64 outputs: {:.2f} fits/s".format(fps64))
             result, label = fps64, "64 outputs"
+            samples64.append(fps64)
             # the axon tunnel intermittently degrades dispatch latency by
             # large factors for minutes at a time; repeat the measurement
             # while budget remains and keep the best demonstrated
             # throughput (quality is unaffected -- each repeat is a full
-            # refit whose NLP the quality gate below checks)
+            # refit whose NLP the quality gate below checks).  ALL
+            # samples and their median are emitted alongside the best so
+            # consumers can distinguish best-case from typical.
             while time.time() - timed_start < 240 and 64 / max(result, 1e-9) < 120:
                 fps64, mgp_last = timed_fit(64, warmed=True)
                 trace("repeat 64 outputs: {:.2f} fits/s".format(fps64))
+                samples64.append(fps64)
                 if fps64 > result:
                     result = fps64
                 else:
@@ -291,10 +340,16 @@ def main():
 
     # secondary metrics (BASELINE.md asks for all three + a quality gate)
     extras = {}
-    budget_ok = lambda: time.time() - timed_start < 480  # noqa: E731
+    if len(samples64) > 1:
+        extras["fits_per_sec_samples"] = [round(s, 3) for s in samples64]
+        extras["fits_per_sec_median"] = round(float(np.median(samples64)), 3)
+    budget_ok = lambda: time.time() - timed_start < 540  # noqa: E731
     if backend != "cpu-fallback":
         for key, fn in (
             ("quality_mean_nlp_gap", lambda: quality_gap(mgp_last)),
+            ("nuts64_min_ess_per_sec", lambda: nuts_ess_per_sec(n_chains=64)),
+            ("large_n_tflops_per_chip", large_n_tflops),
+            ("sweep_points_per_sec", sweep_points_per_sec),
             ("nuts_min_ess_per_sec", nuts_ess_per_sec),
             ("chol_k_tflops_per_chip", chol_k_tflops),
         ):

@@ -49,6 +49,7 @@ from .uq.experimental_design import (
     MaxiMinLHC,
     MonteCarloDesign,
 )
+from .uq.mice_device import DeviceMICEDesign
 from .uq.sequential_design import MICEDesign, MICEFastGP, SequentialDesign
 from .uq.history_matching import HistoryMatching
 from .uq.dimension_reduction import gKDR
@@ -70,6 +71,7 @@ __all__ = [
     "LatinHypercubeDesign",
     "MaxiMinLHC",
     "SequentialDesign",
+    "DeviceMICEDesign",
     "MICEDesign",
     "MICEFastGP",
     "HistoryMatching",

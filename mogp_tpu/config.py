@@ -94,13 +94,18 @@ def batch_blocked_leaf() -> int:
     HEADLINE batched shape (hundreds of lanes, n ~ 200) the recursive
     blocked kernels beat XLA's stock batched ops on a v5e core
     (loop-slope, 240 lanes, n=210, f32: Cholesky 29.1 vs 38.4 us/matrix
-    at leaf=32; 2-col lower TRSM 1.54 vs 6.02 ms at leaf=64 -- the
-    batched column-sweep solve is badly latency-bound).  Enabled by
-    default on TPU backends; off elsewhere (the CPU f64 oracle suite
-    times stock LAPACK-shaped paths).  Override with
-    ``MOGP_TPU_BATCH_BLOCKED_LEAF`` (0 disables; keep leaves <= 64 --
-    leaf=128 at n=210 trips an XLA scoped-vmem overflow in the stock
-    block-inverse the leaves call).
+    at leaf=32; 2-col lower TRSM 1.26 ms at leaf=32 / 1.54 ms at leaf=64
+    vs stock 6.02 -- the batched column-sweep solve is badly
+    latency-bound, and leaf=32 is the shipped TRSM leaf, see
+    ``ops.cholesky._TRSM_LEAF``).  The dispatch only applies up to
+    ``ops.cholesky._BATCH_BLOCKED_MAX_N`` (the measured regime); larger
+    matrices use stock XLA.  Enabled by default on TPU backends; off
+    elsewhere (the CPU f64 oracle suite times stock LAPACK-shaped
+    paths).  Override with ``MOGP_TPU_BATCH_BLOCKED_LEAF`` (0 disables;
+    affects the CHOLESKY leaf only -- the TRSM leaf is fixed at its
+    independently-measured optimum; keep leaves <= 64 -- leaf=128 at
+    n=210 trips an XLA scoped-vmem overflow in the stock block-inverse
+    the leaves call).
     """
     env = os.environ.get("MOGP_TPU_BATCH_BLOCKED_LEAF")
     if env is not None:

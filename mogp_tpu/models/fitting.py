@@ -98,8 +98,10 @@ def _batched_refit(raws, data, kernel, nugget_type):
 
 def _gather_starts(gp, n_tries, theta0):
     """Starting points: ``theta0`` first (if given), prior samples after
-    (``fitting.py:239-242``).  Host-side numpy RNG for reproducibility
-    with seeded reference workflows."""
+    (``fitting.py:239-242``).  Host-side numpy RNG, so seeded runs are
+    deterministic; note ``GPPriors.sample_n`` draws slot-major (all tries
+    of slot 0 first -- see ``priors.py``), so the draw ORDER differs from
+    the reference's per-try sampling loop."""
     n_sampled = n_tries
     head = []
     if theta0 is not None:
@@ -217,23 +219,35 @@ def _fit_single_GP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", **kwargs)
 
 
 def _run_fit_chunked(ems, starts, kernel, nugget_type, maxiter, gtol, ftol,
-                     ladder, dtype, chunk=None):
+                     ladder, dtype, chunk=None, mesh=None):
     """Run the doubly-vmapped fit over output chunks of <= _MAX_LANES lanes.
 
     :param starts: (G, T, P) starting points.
-    :param chunk: outputs per compiled program; default sizes chunks to
-                  fill ``_MAX_LANES``.  The race passes phase A's chunk
-                  into phase B so both phases of every group size reuse
-                  the same two compiled programs (compiles of the big fit
-                  programs cost minutes in the remote-compile service).
+    :param chunk: outputs per compiled program; default (``None``) sizes
+                  chunks to fill ``_MAX_LANES`` with the given restart
+                  count.  Race phase A passes an explicit shared chunk
+                  quantum; phase B passes ``None`` and self-sizes to fill
+                  ``_MAX_LANES`` with its ``keep``-lane outputs, costing
+                  one extra compiled shape per group size (paid once via
+                  the persistent cache) in exchange for full-lane
+                  programs instead of ``keep``-lane slivers.
+    :param mesh: optional device mesh; the outputs axis of every chunk is
+                 sharded over its first axis (GSPMD partitions the SAME
+                 compiled program the single-chip path runs -- the mesh
+                 path is not a fork).  The per-program lane budget scales
+                 with the device count, and chunk sizes are rounded up to
+                 a device multiple (masked padding).
     :returns: ``(fun (G, T), xs (G, T, P))`` numpy arrays.
     """
     G, T, P = starts.shape
+    n_dev = 1 if mesh is None else mesh.shape[mesh.axis_names[0]]
     if chunk is None:
-        outputs_per_chunk = max(1, _MAX_LANES // max(T, 1))
+        outputs_per_chunk = max(1, (_MAX_LANES * n_dev) // max(T, 1))
         n_chunks = -(-G // outputs_per_chunk)
         chunk = -(-G // n_chunks)  # equalized chunk size
     chunk = min(chunk, G)
+    if mesh is not None:
+        chunk = -(-chunk // n_dev) * n_dev
 
     fun = np.empty((G, T), dtype=np.float64)
     xs = np.empty((G, T, P), dtype=np.float64)
@@ -242,8 +256,14 @@ def _run_fit_chunked(ems, starts, kernel, nugget_type, maxiter, gtol, ftol,
         pad = chunk - (sel.stop - sel.start)
         idx_sel = list(range(sel.start, sel.stop)) + [sel.stop - 1] * pad
         data_c = _stack_pytrees([ems[i]._data for i in idx_sel])
+        starts_c = jnp.asarray(starts[idx_sel], dtype=dtype)
+        if mesh is not None:
+            from ..parallel.mesh import shard_leading
+
+            starts_c = shard_leading(starts_c, mesh)
+            data_c = shard_leading(data_c, mesh)
         res = _batched_fit_multi(
-            jnp.asarray(starts[idx_sel], dtype=dtype),
+            starts_c,
             data_c,
             kernel,
             nugget_type,
@@ -252,19 +272,35 @@ def _run_fit_chunked(ems, starts, kernel, nugget_type, maxiter, gtol, ftol,
             ftol,
             ladder,
         )
+        if mesh is not None and jax.process_count() > 1:
+            # multi-host (DCN): each process computes only its shard of
+            # the outputs axis; gather the global result on every host
+            from jax.experimental import multihost_utils
+
+            res = multihost_utils.process_allgather(res, tiled=True)
         fun[sel] = np.asarray(res.fun, dtype=np.float64)[: sel.stop - sel.start]
         xs[sel] = np.asarray(res.x, dtype=np.float64)[: sel.stop - sel.start]
     return fun, xs
 
 
-def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, **kwargs):
+def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False,
+                  mesh=None, **kwargs):
     """Fit all outputs of a MultiOutputGP in batched groups
-    (``fitting.py:273-338``)."""
+    (``fitting.py:273-338``).
+
+    With ``mesh``, the outputs axis of every batched program (both race
+    phases AND the exact-ladder refit) is sharded over the mesh's first
+    axis -- the mesh path is the single-chip path plus sharding
+    constraints, NOT a separate implementation, so race, lane chunking,
+    and the batched refit all apply on multi-chip runs, and heterogeneous
+    configurations work through the same per-group dispatch
+    (``MultiOutputGP.py:72-104`` per-output config lists)."""
     assert isinstance(gp, MultiOutputGP)
     n_tries = int(n_tries)
     assert n_tries > 0, "n_tries must be a positive integer"
     _check_method(method)
     maxiter, gtol, ftol, race, ladder = _extract_opt_options(dict(kwargs))
+    n_dev = 1 if mesh is None else mesh.shape[mesh.axis_names[0]]
 
     # normalize theta0 into a per-emulator list (fitting.py:294-316)
     if theta0 is None:
@@ -308,20 +344,22 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
 
         # fixed chunk quantum shared by both race phases: every group size
         # decomposes into the same compiled program shapes
-        chunk_q = max(1, _MAX_LANES // max(n_tries, 1))
+        chunk_q = max(1, (_MAX_LANES * n_dev) // max(n_tries, 1))
         chunk_q = -(-G // (-(-G // chunk_q)))  # equalized
+        if mesh is not None:
+            chunk_q = -(-chunk_q // n_dev) * n_dev
 
         plan = _race_plan(n_tries, maxiter, race)
         if plan is None:
             fun, xs = _run_fit_chunked(
                 ems, starts, em0.kernel, em0.nugget_type, maxiter, gtol, ftol,
-                ladder, dtype, chunk=chunk_q,
+                ladder, dtype, chunk=chunk_q, mesh=mesh,
             )
         else:
             phase_a, keep, phase_b = plan
             fun_a, xs_a = _run_fit_chunked(
                 ems, starts, em0.kernel, em0.nugget_type, phase_a, gtol, ftol,
-                ladder, dtype, chunk=chunk_q,
+                ladder, dtype, chunk=chunk_q, mesh=mesh,
             )
             # top `keep` restarts per output advance to the full-budget
             # phase; non-finite restarts sort last
@@ -338,7 +376,7 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
             # persistent cache.
             fun, xs = _run_fit_chunked(
                 ems, starts_b, em0.kernel, em0.nugget_type, phase_b, gtol,
-                ftol, ladder, dtype,
+                ftol, ladder, dtype, mesh=mesh,
             )
 
         best_raw = np.empty((G, starts.shape[-1]), dtype=np.float64)
@@ -357,14 +395,18 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False, *
             rows = fit_rows[r0 : r0 + chunk_q]
             rows_pad = rows + [rows[-1]] * (chunk_q - len(rows))
             data_g = _stack_pytrees([ems[r]._data for r in rows_pad])
-            arts = jax.device_get(
-                _batched_refit(
-                    jnp.asarray(best_raw[rows_pad], dtype=dtype),
-                    data_g,
-                    em0.kernel,
-                    em0.nugget_type,
-                )
-            )
+            raw_g = jnp.asarray(best_raw[rows_pad], dtype=dtype)
+            if mesh is not None:
+                from ..parallel.mesh import shard_leading
+
+                raw_g = shard_leading(raw_g, mesh)
+                data_g = shard_leading(data_g, mesh)
+            arts = _batched_refit(raw_g, data_g, em0.kernel, em0.nugget_type)
+            if mesh is not None and jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                arts = multihost_utils.process_allgather(arts, tiled=True)
+            arts = jax.device_get(arts)
             for k, row in enumerate(rows):
                 ems[row]._set_fit_artifacts(
                     best_raw[row],
@@ -380,6 +422,7 @@ def fit_GP_MAP(
     method="L-BFGS-B",
     skip_failures=True,
     refit=False,
+    mesh=None,
     **kwargs,
 ):
     """Fit one or more GPs by minimizing the negative log posterior.
@@ -402,12 +445,23 @@ def fit_GP_MAP(
     ``MOGP_TPU_OPT_LADDER`` ("single" default / "sparse" / "full"); the
     final refit of each winner always uses the exact reference ladder
     (``linalg/cholesky.py:234-281``).
+
+    ``mesh`` (MultiOutputGP only) shards the outputs axis of every
+    batched program over a ``jax.sharding.Mesh`` -- race, lane chunking,
+    and the batched refit are identical to the single-chip path; GSPMD
+    partitions the programs (see ``_run_fit_chunked``).
     """
     if len(args) == 1:
         gp = args[0]
         if isinstance(gp, MultiOutputGP):
-            gp = _fit_MOGP_MAP(gp, n_tries, theta0, method, refit, **kwargs)
+            gp = _fit_MOGP_MAP(gp, n_tries, theta0, method, refit, mesh,
+                               **kwargs)
         elif isinstance(gp, GaussianProcessBase):
+            if mesh is not None:
+                warnings.warn(
+                    "mesh sharding applies to MultiOutputGP fits; ignoring "
+                    "mesh for a single GP"
+                )
             gp = _fit_single_GP_MAP(gp, n_tries, theta0, method, **kwargs)
         else:
             raise TypeError(
@@ -427,7 +481,8 @@ def fit_GP_MAP(
         except AssertionError:
             try:
                 gp = MultiOutputGP(*args, **gp_kwargs)
-                gp = _fit_MOGP_MAP(gp, n_tries, theta0, method, refit, **kwargs)
+                gp = _fit_MOGP_MAP(gp, n_tries, theta0, method, refit, mesh,
+                                   **kwargs)
             except AssertionError:
                 raise ValueError("Bad values for *args in fit_GP_MAP")
 

@@ -252,11 +252,7 @@ def gp_nlp(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
     return logpost - _prior_logp(data, raw, n_corr, nugget_type)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("kernel", "nugget_type", "unc", "include_nugget", "full_cov"),
-)
-def gp_predict(
+def _gp_predict_impl(
     artifacts: FitArtifacts,
     data: GPData,
     testing,
@@ -319,6 +315,98 @@ def gp_predict(
             0.0,
         )
     return mu, var
+
+
+gp_predict = partial(
+    jax.jit,
+    static_argnames=("kernel", "nugget_type", "unc", "include_nugget", "full_cov"),
+)(_gp_predict_impl)
+gp_predict.__name__ = "gp_predict"
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "nugget_type", "unc", "include_nugget", "tile"),
+)
+def gp_predict_tiled(
+    artifacts: FitArtifacts,
+    data: GPData,
+    testing,
+    dmtest,
+    kernel,
+    nugget_type,
+    unc=True,
+    include_nugget=True,
+    tile=32768,
+):
+    """Memory-bounded prediction: ``lax.map`` over fixed-size query tiles.
+
+    TPU-native form of the reference's batched device prediction
+    (``GaussianProcessGPU.py:608-626`` loops ``max_batch_size=2000``
+    query batches; ``mogp_gpu/src/densegp_gpu.hpp:786-812`` preallocates
+    a ``testing_size`` buffer): the per-tile working set -- the ``(n,
+    tile)`` cross-covariance, its half-solve, and the ``(M, tile)``
+    R-correction -- is all that ever exists on device, so a 10^7-point
+    HistoryMatching/SMC sweep runs in HBM that depends only on ``n`` and
+    ``tile``, not on the query count.  ``lax.map`` keeps the whole sweep
+    one dispatch (one compiled program per (n_tiles, tile) shape pair,
+    and tile shapes are quantized so shapes recur).
+
+    Full covariance is inherently O(m^2) and is not supported here; use
+    :func:`gp_predict` with ``full_cov=True`` for modest ``m``.
+
+    :param tile: static query-tile size.
+    :returns: ``(mu, var)`` with ``var`` ``None`` when ``unc`` is False.
+    """
+    m = testing.shape[0]
+    n_tiles = -(-m // tile)
+    pad = n_tiles * tile - m
+    if pad:
+        # repeat the final row: padded lanes compute finite garbage that
+        # is sliced off below (edge values keep the kernel math benign)
+        testing = jnp.concatenate(
+            [testing, jnp.repeat(testing[-1:], pad, axis=0)], axis=0
+        )
+        dmtest = jnp.concatenate(
+            [dmtest, jnp.repeat(dmtest[-1:], pad, axis=0)], axis=0
+        )
+    t3 = testing.reshape(n_tiles, tile, testing.shape[1])
+    dm3 = dmtest.reshape(n_tiles, tile, dmtest.shape[1])
+
+    def one(args):
+        t, dm = args
+        mu, var = _gp_predict_impl(
+            artifacts, data, t, dm, kernel, nugget_type,
+            unc=unc, include_nugget=include_nugget, full_cov=False,
+        )
+        return (mu, var) if unc else (mu, jnp.zeros((0,), dtype=mu.dtype))
+
+    mu, var = jax.lax.map(one, (t3, dm3))
+    mu = mu.reshape(-1)[:m]
+    if not unc:
+        return mu, None
+    return mu, var.reshape(-1)[:m]
+
+
+def _predict_tile_size(n_testing, max_batch_size):
+    """Resolve the query-tile size for chunked prediction.
+
+    ``None`` -> automatic: unchunked below ``_AUTO_PREDICT_TILE`` points,
+    tiles of ``_AUTO_PREDICT_TILE`` above (bounding HBM for huge sweeps
+    without a flag, like the reference GPU class's default
+    ``max_batch_size=2000``).  An explicit value is rounded up to a
+    multiple of 256 (TPU lane quantum; also collapses near-identical
+    compiled shapes).  Returns 0 for "do not chunk".
+    """
+    if max_batch_size is None:
+        return _AUTO_PREDICT_TILE if n_testing > _AUTO_PREDICT_TILE else 0
+    tile = int(max_batch_size)
+    assert tile > 0, "max_batch_size must be positive"
+    tile = -(-tile // 256) * 256
+    return tile if n_testing > tile else 0
+
+
+_AUTO_PREDICT_TILE = 32768
 
 
 # ---------------------------------------------------------------------------
@@ -666,10 +754,19 @@ class GaussianProcess(GaussianProcessBase):
     # -- prediction ---------------------------------------------------------
 
     def predict(
-        self, testing, unc=True, deriv=False, include_nugget=True, full_cov=False
+        self, testing, unc=True, deriv=False, include_nugget=True,
+        full_cov=False, max_batch_size=None,
     ):
         """Predict mean/variance at query points
-        (``GaussianProcess.py:818-927``)."""
+        (``GaussianProcess.py:818-927``).
+
+        ``max_batch_size`` bounds device memory for very large query sets
+        (the reference GPU class's batching knob,
+        ``GaussianProcessGPU.py:608-626``): queries are processed in
+        fixed-size tiles inside one program (``gp_predict_tiled``).
+        Default ``None`` chunks automatically above
+        ``_AUTO_PREDICT_TILE`` points; ignored with ``full_cov``.
+        """
         if self._theta.get_data() is None or self._artifacts is None:
             raise ValueError(
                 "hyperparameters have not been fit for this Gaussian Process"
@@ -678,17 +775,33 @@ class GaussianProcess(GaussianProcessBase):
         dmtest = self.get_design_matrix(testing)
         dtype = self._data.inputs.dtype
 
-        mu, var = gp_predict(
-            self._artifacts,
-            self._data,
-            jnp.asarray(testing, dtype=dtype),
-            jnp.asarray(dmtest, dtype=dtype),
-            self.kernel,
-            self._nugget_type,
-            unc=bool(unc),
-            include_nugget=bool(include_nugget),
-            full_cov=bool(full_cov),
+        tile = 0 if full_cov else _predict_tile_size(
+            testing.shape[0], max_batch_size
         )
+        if tile:
+            mu, var = gp_predict_tiled(
+                self._artifacts,
+                self._data,
+                jnp.asarray(testing, dtype=dtype),
+                jnp.asarray(dmtest, dtype=dtype),
+                self.kernel,
+                self._nugget_type,
+                unc=bool(unc),
+                include_nugget=bool(include_nugget),
+                tile=tile,
+            )
+        else:
+            mu, var = gp_predict(
+                self._artifacts,
+                self._data,
+                jnp.asarray(testing, dtype=dtype),
+                jnp.asarray(dmtest, dtype=dtype),
+                self.kernel,
+                self._nugget_type,
+                unc=bool(unc),
+                include_nugget=bool(include_nugget),
+                full_cov=bool(full_cov),
+            )
 
         if deriv:
             warnings.warn(

@@ -239,85 +239,94 @@ def sample_MOGP_MCMC(
 
     The BASELINE target configuration ("full MultiOutputGP fit + NUTS
     hyperparameter posteriors for a tsunami-scale emulator"): the
-    (outputs x chains) axes are vmapped into one program; with ``mesh``,
-    the outputs axis is sharded over devices.  Requires a homogeneous
-    emulator configuration and prior MAP fits (used as jittered chain
-    initializations).
+    (outputs x chains) axes are vmapped into one program per signature
+    group (heterogeneous per-output configurations dispatch per group);
+    with ``mesh``, each group's outputs axis is sharded over devices.
+    Requires prior MAP fits (used as jittered chain initializations).
 
     :returns: list of per-output ``MCMCResult``.
     """
     from .mogp import MultiOutputGP, _stack_pytrees
 
     assert isinstance(mgp, MultiOutputGP)
-    assert len(mgp._groups()) == 1, (
-        "sample_MOGP_MCMC requires a homogeneous emulator configuration"
-    )
     assert mgp.get_indices_not_fit() == [], (
         "MAP-fit all outputs first (fit_GP_MAP) to initialize chains"
     )
-    ems = mgp.emulators
-    em0 = ems[0]
-    dtype = em0._data.inputs.dtype
-    P = em0.n_params
-    kernel = em0.kernel
-    nugget_type = em0.nugget_type
+    results = [None] * mgp.n_emulators
 
-    data_stack = _stack_pytrees([em._data for em in ems])
-    theta_map = jnp.asarray(
-        np.stack([em.theta.get_data() for em in ems]), dtype=dtype
-    )  # (G, P)
+    # heterogeneous configurations run as one batched program per
+    # signature group, matching the per-group dispatch of fitting and
+    # prediction (reference per-output config lists,
+    # MultiOutputGP.py:72-104)
+    for g_idx, (sig, rel) in enumerate(sorted(
+        mgp._groups().items(), key=lambda kv: kv[1][0]
+    )):
+        ems = [mgp.emulators[i] for i in rel]
+        em0 = ems[0]
+        dtype = em0._data.inputs.dtype
+        P = em0.n_params
+        kernel = em0.kernel
+        nugget_type = em0.nugget_type
 
-    key = jax.random.PRNGKey(seed)
-    k_init, k_run = jax.random.split(key)
-    q0 = theta_map[:, None, :] + 0.5 * jax.random.normal(
-        k_init, (len(ems), n_chains, P), dtype=dtype
-    )
-    chain_keys = jax.random.split(k_run, len(ems) * n_chains).reshape(
-        len(ems), n_chains, -1
-    )
+        data_stack = _stack_pytrees([em._data for em in ems])
+        theta_map = jnp.asarray(
+            np.stack([em.theta.get_data() for em in ems]), dtype=dtype
+        )  # (G, P)
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as Pspec
-
-        ax = mesh.axis_names[0]
-        q0 = jax.device_put(q0, NamedSharding(mesh, Pspec(ax, None, None)))
-        data_stack = jax.tree_util.tree_map(
-            lambda x: jax.device_put(
-                x,
-                NamedSharding(
-                    mesh, Pspec(ax, *([None] * (x.ndim - 1)))
-                ),
-            ),
-            data_stack,
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), g_idx)
+        k_init, k_run = jax.random.split(key)
+        q0 = theta_map[:, None, :] + 0.5 * jax.random.normal(
+            k_init, (len(ems), n_chains, P), dtype=dtype
+        )
+        chain_keys = jax.random.split(k_run, len(ems) * n_chains).reshape(
+            len(ems), n_chains, -1
         )
 
-    def one_output(data, q0_chains, keys):
-        def potential(raw):
-            return gp_nlp(raw, data, kernel, nugget_type,
-                          sparse_ladder=_OPT_LADDER)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Pspec
 
-        return jax.vmap(
-            lambda q, k: sample_nuts(
-                potential, q, k, n_warmup=n_warmup, n_samples=n_samples,
-                max_depth=max_depth, target_accept=target_accept,
-            )
-        )(q0_chains, keys)
+            ax = mesh.axis_names[0]
+            n_dev = mesh.shape[ax]
+            if len(ems) % n_dev == 0:
+                q0 = jax.device_put(
+                    q0, NamedSharding(mesh, Pspec(ax, None, None))
+                )
+                data_stack = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(
+                        x,
+                        NamedSharding(
+                            mesh, Pspec(ax, *([None] * (x.ndim - 1)))
+                        ),
+                    ),
+                    data_stack,
+                )
+            # groups not divisible by the mesh fall back to the default
+            # (replicated) placement; correctness is unaffected
 
-    samples, infos = jax.vmap(one_output)(data_stack, q0, chain_keys)
-    # samples: (G, n_chains, n_samples, P)
+        def one_output(data, q0_chains, keys):
+            def potential(raw):
+                return gp_nlp(raw, data, kernel, nugget_type,
+                              sparse_ladder=_OPT_LADDER)
 
-    results = []
-    for g in range(len(ems)):
-        s = samples[g]
-        results.append(
-            MCMCResult(
+            return jax.vmap(
+                lambda q, k: sample_nuts(
+                    potential, q, k, n_warmup=n_warmup, n_samples=n_samples,
+                    max_depth=max_depth, target_accept=target_accept,
+                )
+            )(q0_chains, keys)
+
+        samples, infos = jax.vmap(one_output)(data_stack, q0, chain_keys)
+        # samples: (G, n_chains, n_samples, P)
+
+        for j, i in enumerate(rel):
+            s = samples[j]
+            results[i] = MCMCResult(
                 samples=np.asarray(s),
-                accept_prob=np.asarray(infos.accept_prob[g]),
-                diverging=np.asarray(infos.diverging[g]),
+                accept_prob=np.asarray(infos.accept_prob[j]),
+                diverging=np.asarray(infos.diverging[j]),
                 rhat=np.asarray(potential_scale_reduction(s)),
                 ess=np.asarray(effective_sample_size(s)),
             )
-        )
     return results
 
 

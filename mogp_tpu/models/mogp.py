@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.kernels import KernelBase
-from .gp import GaussianProcess, PredictResult, gp_predict
+from .gp import (
+    GaussianProcess,
+    PredictResult,
+    _predict_tile_size,
+    gp_predict,
+    gp_predict_tiled,
+)
 from .priors import GPPriors
 
 __all__ = ["MultiOutputGP", "MultiOutputGPBase"]
@@ -172,13 +178,17 @@ class MultiOutputGP(MultiOutputGPBase):
         full_cov=False,
         allow_not_fit=False,
         processes=None,
+        max_batch_size=None,
     ):
         """Batched prediction over all emulators
         (``MultiOutputGP.py:182-324``).
 
         ``processes`` is accepted for API parity but ignored: outputs are
         a vmapped batch axis in one XLA program rather than a process
-        pool.
+        pool.  ``max_batch_size`` bounds per-output device memory by
+        tiling the query axis (reference GPU batching,
+        ``MultiOutputGP_GPU.py:52`` ``batch_size=16000``); default
+        ``None`` auto-chunks very large sweeps.
         """
         testing = np.asarray(testing, dtype=np.float64)
         if self.D == 1 and testing.ndim == 1:
@@ -219,17 +229,33 @@ class MultiOutputGP(MultiOutputGPBase):
             arts = _stack_pytrees([em._artifacts for em in ems])
             data = _stack_pytrees([em._data for em in ems])
             dmtest = em0.get_design_matrix(testing)
-            mu, var = _batched_predict(
-                arts,
-                data,
-                jnp.asarray(testing, dtype=dtype),
-                jnp.asarray(dmtest, dtype=dtype),
-                em0.kernel,
-                em0.nugget_type,
-                bool(unc),
-                bool(include_nugget),
-                bool(full_cov),
+            tile = 0 if full_cov else _predict_tile_size(
+                n_testing, max_batch_size
             )
+            if tile:
+                mu, var = _batched_predict_tiled(
+                    arts,
+                    data,
+                    jnp.asarray(testing, dtype=dtype),
+                    jnp.asarray(dmtest, dtype=dtype),
+                    em0.kernel,
+                    em0.nugget_type,
+                    bool(unc),
+                    bool(include_nugget),
+                    tile,
+                )
+            else:
+                mu, var = _batched_predict(
+                    arts,
+                    data,
+                    jnp.asarray(testing, dtype=dtype),
+                    jnp.asarray(dmtest, dtype=dtype),
+                    em0.kernel,
+                    em0.nugget_type,
+                    bool(unc),
+                    bool(include_nugget),
+                    bool(full_cov),
+                )
             mean_out[global_idx] = np.asarray(mu, dtype=np.float64)
             if unc:
                 unc_out[global_idx] = np.asarray(var, dtype=np.float64)
@@ -305,5 +331,29 @@ def _batched_predict(
             unc=unc,
             include_nugget=include_nugget,
             full_cov=full_cov,
+        )
+    )(arts, data)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "nugget_type", "unc", "include_nugget", "tile"),
+)
+def _batched_predict_tiled(
+    arts, data, testing, dmtest, kernel, nugget_type, unc, include_nugget, tile
+):
+    """Outputs-vmapped, query-tiled predict: per-output memory is bounded
+    by the (n, tile) working set regardless of the sweep size."""
+    return jax.vmap(
+        lambda a, d: gp_predict_tiled(
+            a,
+            d,
+            testing,
+            dmtest,
+            kernel,
+            nugget_type,
+            unc=unc,
+            include_nugget=include_nugget,
+            tile=tile,
         )
     )(arts, data)

@@ -36,9 +36,22 @@ from . import blocked
 
 # blocked TRSM leaf for the batched small-n dispatch: 32 measured best
 # for both sweeps at (240, 210, 2-col) on v5e (lower 1.26 ms vs stock
-# 6.02; upper 0.93 ms vs stock 6.08); leaves >= 128 at n ~ 210 trip an
-# XLA scoped-vmem overflow in the stock block-inverse the leaves call
+# 6.02; upper 0.93 ms vs stock 6.08 -- leaf=64 measured 1.54 ms on the
+# lower sweep, so 32 is the shipped leaf); leaves >= 128 at n ~ 210 trip
+# an XLA scoped-vmem overflow in the stock block-inverse the leaves
+# call.  NOTE: ``MOGP_TPU_BATCH_BLOCKED_LEAF`` overrides only the
+# Cholesky leaf (``config.batch_blocked_leaf``); the TRSM leaf is fixed
+# here because its optimum was measured independently.
 _TRSM_LEAF = 32
+
+# upper bound on matrix size for the batched small-n blocked dispatch:
+# the supporting measurements cover the headline batched regime
+# (hundreds of lanes, n ~ 210); beyond a few hundred the trace-time
+# unrolled recursion grows the HLO quadratically in n/leaf and stock
+# XLA was measured to win or tie from n=256 up for SINGLE matrices
+# (see config.blocked_chol_min_n), so sizes above this fall back to
+# stock XLA (or the large-n blocked path when explicitly enabled).
+_BATCH_BLOCKED_MAX_N = 512
 
 __all__ = [
     "ChoFactor",
@@ -61,9 +74,13 @@ def _use_blocked(n):
 
 def _batch_leaf(n):
     """Leaf for the batched small-n blocked dispatch, or 0 when stock
-    XLA should be used at size ``n`` (see ``config.batch_blocked_leaf``)."""
+    XLA should be used at size ``n`` (see ``config.batch_blocked_leaf``).
+
+    Bounded to the measured regime: leaf < n <= ``_BATCH_BLOCKED_MAX_N``
+    (and below the explicit large-n threshold).  Larger matrices use
+    stock XLA, where it was measured to win or tie."""
     leaf = batch_blocked_leaf()
-    if leaf and leaf < n < blocked_chol_min_n():
+    if leaf and leaf < n <= min(_BATCH_BLOCKED_MAX_N, blocked_chol_min_n() - 1):
         return leaf
     return 0
 
@@ -202,7 +219,8 @@ def fixed_cholesky(A):
     return _chol(A)
 
 
-def jit_cholesky(A, maxtries=5, reuse_factor=True, sparse_ladder=False):
+def jit_cholesky(A, maxtries=5, reuse_factor=True, sparse_ladder=False,
+                 jitter_mask=None):
     """Jittered Cholesky decomposition (``cholesky.py:234-281``).
 
     Tries an exact factorization and, on failure, diagonal jitter of
@@ -217,14 +235,25 @@ def jit_cholesky(A, maxtries=5, reuse_factor=True, sparse_ladder=False):
     with the selected (gradient-stopped) jitter so reverse-mode autodiff
     is exact.
 
+    :param jitter_mask: optional (n,) 0/1 vector restricting BOTH the
+        jitter diagonal add and the mean-diagonal magnitude estimate to
+        the marked rows.  Used by the fixed-shape (masked) MICE path,
+        where padded rows carry a unit diagonal that must stay exactly 1
+        so they contribute nothing to the log determinant.
     :returns: ``(ChoFactor, jitter)``; the factor is all-NaN if even the
               largest jitter fails (callers see a NaN log-posterior,
               reproducing the skip-failed-restart semantics).
     """
     A_sg = lax.stop_gradient(A)
-    mean_diag = jnp.mean(jnp.diag(A_sg))
     n = A.shape[0]
-    eye = jnp.eye(n, dtype=A.dtype)
+    if jitter_mask is None:
+        mean_diag = jnp.mean(jnp.diag(A_sg))
+        eye = jnp.eye(n, dtype=A.dtype)
+    else:
+        mean_diag = jnp.sum(jitter_mask * jnp.diag(A_sg)) / jnp.maximum(
+            jnp.sum(jitter_mask), 1.0
+        )
+        eye = jnp.diag(jitter_mask.astype(A.dtype))
 
     if sparse_ladder == "single":
         # leanest optimization-phase path: ONE candidate, the reference
@@ -379,7 +408,8 @@ def pivoted_cholesky(A):
     return PivotedChoFactor(L, perm, rank)
 
 
-def cholesky_factor(K, nugget, nugget_type, reuse_factor=True, sparse_ladder=False):
+def cholesky_factor(K, nugget, nugget_type, reuse_factor=True,
+                    sparse_ladder=False, jitter_mask=None):
     """Dispatch factorization on nugget handling (``cholesky.py:168-193``).
 
     :param K: covariance matrix (without nugget).
@@ -387,18 +417,30 @@ def cholesky_factor(K, nugget, nugget_type, reuse_factor=True, sparse_ladder=Fal
                    ``pivot``).
     :param nugget_type: static string: ``"adaptive"``, ``"pivot"``,
                         ``"fit"`` or ``"fixed"``.
+    :param jitter_mask: optional (n,) 0/1 vector restricting the nugget /
+                        jitter diagonal add to the marked rows (masked
+                        fixed-shape problems; not supported for
+                        ``pivot``).
     :returns: ``(factor, nugget)`` where factor is a ``ChoFactor`` or
               ``PivotedChoFactor`` and nugget is the (possibly updated)
               nugget value.
     """
     if nugget_type == "adaptive":
         factor, nugget = jit_cholesky(
-            K, reuse_factor=reuse_factor, sparse_ladder=sparse_ladder
+            K, reuse_factor=reuse_factor, sparse_ladder=sparse_ladder,
+            jitter_mask=jitter_mask,
         )
     elif nugget_type == "pivot":
+        assert jitter_mask is None, (
+            "jitter_mask is not supported with pivoted factorization"
+        )
         factor = pivoted_cholesky(K)
     elif nugget_type in ("fit", "fixed"):
-        Kn = K + nugget * jnp.eye(K.shape[0], dtype=K.dtype)
+        if jitter_mask is None:
+            eye = jnp.eye(K.shape[0], dtype=K.dtype)
+        else:
+            eye = jnp.diag(jitter_mask.astype(K.dtype))
+        Kn = K + nugget * eye
         factor = ChoFactor(fixed_cholesky(Kn))
     else:
         raise ValueError("Bad value for nugget_type in cholesky_factor")

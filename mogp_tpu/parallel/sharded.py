@@ -21,26 +21,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..models.fitting import _batched_fit_multi
-from ..models.gp import gp_predict
+from ..models.gp import _predict_tile_size, gp_predict
 from ..models.mogp import MultiOutputGP, _stack_pytrees
-from .mesh import auto_mesh, replicate, shard_leading
+from .mesh import auto_mesh, replicate
 
 __all__ = ["sharded_fit_mogp", "sharded_predict", "sharded_predict_mogp"]
-
-
-def _pad_leading(arr_or_tree, multiple):
-    """Pad every leaf's leading axis to a multiple (masked batch padding)."""
-
-    def pad(x):
-        n = x.shape[0]
-        rem = (-n) % multiple
-        if rem == 0:
-            return x
-        pad_widths = [(0, rem)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pad_widths, mode="edge")
-
-    return jax.tree_util.tree_map(pad, arr_or_tree)
 
 
 def sharded_fit_mogp(
@@ -49,63 +34,70 @@ def sharded_fit_mogp(
     theta0=None,
     mesh=None,
     maxiter=200,
-    gtol=1e-5,
-    ftol=1e-10,
+    gtol=None,
+    ftol=None,
     opt_ladder=None,
+    race=True,
+    refit=False,
 ):
     """MAP-fit all outputs of a MultiOutputGP with outputs sharded on a mesh.
 
-    Requires a homogeneous configuration (single signature group).  Pads
-    the outputs axis up to the mesh size and drops padded results.
+    Thin wrapper over the PRODUCTION fit path (``fit_GP_MAP`` with
+    ``mesh``): race tournament, lane chunking, and the batched
+    exact-ladder refit all run with the outputs axis sharded over the
+    mesh -- the same compiled programs as the single-chip path, GSPMD
+    partitioned.  Heterogeneous per-output configurations are supported
+    through the same per-group dispatch as the unsharded path.
     """
+    from ..models.fitting import fit_GP_MAP
+
     mesh = mesh or auto_mesh()
-    groups = gp._groups()
-    assert len(groups) == 1, (
-        "sharded_fit_mogp requires emulators with a homogeneous configuration"
+    kwargs = dict(maxiter=maxiter, race=race)
+    if gtol is not None:
+        kwargs["gtol"] = gtol
+    if ftol is not None:
+        kwargs["ftol"] = ftol
+    if opt_ladder is not None:
+        kwargs["opt_ladder"] = opt_ladder
+    return fit_GP_MAP(
+        gp, n_tries=n_tries, theta0=theta0, mesh=mesh, refit=refit, **kwargs
     )
-    ems = gp.emulators
-    em0 = ems[0]
-    dtype = em0._data.inputs.dtype
-    n_dev = mesh.shape[mesh.axis_names[0]]
 
-    from ..models.fitting import _gather_starts
 
-    starts = np.stack([_gather_starts(em, n_tries, theta0) for em in ems])
-    data = _stack_pytrees([em._data for em in ems])
+def _super_chunks(n_query, n_dev, max_batch_size):
+    """Yield ``(start, stop, padded_len)`` fixed-shape query super-chunks.
 
-    starts = _pad_leading(jnp.asarray(starts, dtype=dtype), n_dev)
-    data = _pad_leading(data, n_dev)
+    The per-device tile is resolved by the same policy as single-chip
+    chunked prediction (``models.gp._predict_tile_size``); a super-chunk
+    is ``tile * n_dev`` rows so every chunk keeps a uniform shard per
+    device.  All chunks share ONE padded length (one compiled program);
+    the final partial chunk is padded by edge rows.  Memory per device is
+    bounded by the (n, tile) working set, the reference GPU batching
+    semantics (``GaussianProcessGPU.py:608-626``) composed with mesh
+    sharding.
+    """
+    per_dev = -(-n_query // n_dev)
+    tile = _predict_tile_size(per_dev, max_batch_size)
+    if tile == 0:
+        # unchunked: one chunk, padded to a device multiple
+        yield 0, n_query, n_dev * per_dev
+        return
+    chunk = tile * n_dev
+    for c0 in range(0, n_query, chunk):
+        yield c0, min(c0 + chunk, n_query), chunk
 
-    starts = shard_leading(starts, mesh)
-    data = shard_leading(data, mesh)
 
-    from ..models.fitting import _LADDER_MODES, _OPT_LADDER
-
-    ladder = _OPT_LADDER if opt_ladder is None else _LADDER_MODES[opt_ladder]
-    res = _batched_fit_multi(
-        starts, data, em0.kernel, em0.nugget_type, maxiter, gtol, ftol, ladder
-    )
-    if jax.process_count() > 1:
-        # multi-host (DCN): each process holds only its shard of the
-        # outputs axis; gather the global result onto every host
-        from jax.experimental import multihost_utils
-
-        res = multihost_utils.process_allgather(res, tiled=True)
-    fun = np.asarray(res.fun, dtype=np.float64)[: len(ems)]
-    xs = np.asarray(res.x, dtype=np.float64)[: len(ems)]
-
-    for row, em in enumerate(ems):
-        finite = np.isfinite(fun[row])
-        if not finite.any():
-            em.theta = None
-        else:
-            idx = int(np.nanargmin(np.where(finite, fun[row], np.inf)))
-            em.fit(xs[row, idx])
-    return gp
+def _pad_rows(arr, total):
+    """Pad a 2D host array to ``total`` rows by repeating the last row."""
+    pad = total - arr.shape[0]
+    if pad <= 0:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
 
 
 def sharded_predict_mogp(gp, testing, mesh=None, unc=True,
-                         include_nugget=True, allow_not_fit=False):
+                         include_nugget=True, allow_not_fit=False,
+                         max_batch_size=None):
     """Predict a MultiOutputGP over a mesh-sharded query-point set.
 
     Outputs stay a (replicated) vmapped batch axis -- the per-output fit
@@ -113,7 +105,10 @@ def sharded_predict_mogp(gp, testing, mesh=None, unc=True,
     so a HistoryMatching sweep over millions of points splits its
     K*-build and solve work across chips with no collectives
     (reference scale-out surface: ``HistoryMatching.py:197``,
-    ``MultiOutputGP.py:182-324``).
+    ``MultiOutputGP.py:182-324``).  ``max_batch_size`` bounds per-device
+    memory by processing fixed-shape query super-chunks (default
+    ``None`` auto-chunks very large sweeps), so 10^7-point sweeps fit in
+    HBM regardless of query count.
 
     Returns ``(means, variances)`` host arrays of shape
     ``(n_outputs, n_query)``; unfit emulators give NaN rows when
@@ -141,6 +136,7 @@ def sharded_predict_mogp(gp, testing, mesh=None, unc=True,
     means = np.full((gp.n_emulators, n_query), np.nan)
     variances = np.full((gp.n_emulators, n_query), np.nan)
 
+    spec = NamedSharding(mesh, P(axis, None))
     for sig, rel in gp._groups([gp.emulators[i] for i in fit_indices]).items():
         global_idx = [fit_indices[i] for i in rel]
         ems = [gp.emulators[i] for i in global_idx]
@@ -150,30 +146,32 @@ def sharded_predict_mogp(gp, testing, mesh=None, unc=True,
         arts = replicate(_stack_pytrees([em._artifacts for em in ems]), mesh)
         data = replicate(_stack_pytrees([em._data for em in ems]), mesh)
 
-        dmtest = em0.get_design_matrix(testing)
-        spec = NamedSharding(mesh, P(axis, None))
-        testing_j = jax.device_put(
-            _pad_leading(jnp.asarray(testing, dtype=dtype), n_dev), spec
-        )
-        dmtest_j = jax.device_put(
-            _pad_leading(jnp.asarray(dmtest, dtype=dtype), n_dev), spec
-        )
+        for c0, c1, padded in _super_chunks(n_query, n_dev, max_batch_size):
+            t_c = _pad_rows(testing[c0:c1], padded)
+            dm_c = em0.get_design_matrix(t_c)
+            testing_j = jax.device_put(jnp.asarray(t_c, dtype=dtype), spec)
+            dmtest_j = jax.device_put(jnp.asarray(dm_c, dtype=dtype), spec)
 
-        mu, var = _batched_predict(
-            arts, data, testing_j, dmtest_j, em0.kernel, em0.nugget_type,
-            bool(unc), bool(include_nugget), False,
-        )
-        means[global_idx] = np.asarray(mu, dtype=np.float64)[:, :n_query]
-        if unc:
-            variances[global_idx] = np.asarray(var, dtype=np.float64)[:, :n_query]
+            mu, var = _batched_predict(
+                arts, data, testing_j, dmtest_j, em0.kernel, em0.nugget_type,
+                bool(unc), bool(include_nugget), False,
+            )
+            means[global_idx, c0:c1] = np.asarray(
+                mu, dtype=np.float64)[:, : c1 - c0]
+            if unc:
+                variances[global_idx, c0:c1] = np.asarray(
+                    var, dtype=np.float64)[:, : c1 - c0]
     return means, (variances if unc else None)
 
 
-def sharded_predict(gp, testing, mesh=None, unc=True, include_nugget=True):
+def sharded_predict(gp, testing, mesh=None, unc=True, include_nugget=True,
+                    max_batch_size=None):
     """Predict a single GP over a large, mesh-sharded set of query points.
 
     ``testing`` is sharded along the query axis; fit artifacts and
-    training data are replicated.  Returns host numpy arrays.
+    training data are replicated.  ``max_batch_size`` bounds per-device
+    memory via fixed-shape super-chunks (see ``_super_chunks``).
+    Returns host numpy arrays.
     """
     mesh = mesh or auto_mesh()
     n_dev = mesh.shape[mesh.axis_names[0]]
@@ -183,28 +181,31 @@ def sharded_predict(gp, testing, mesh=None, unc=True, include_nugget=True):
     n_query = testing.shape[0]
 
     dtype = gp._data.inputs.dtype
-    dmtest = gp.get_design_matrix(testing)
-
-    testing_j = _pad_leading(jnp.asarray(testing, dtype=dtype), n_dev)
-    dmtest_j = _pad_leading(jnp.asarray(dmtest, dtype=dtype), n_dev)
     spec = NamedSharding(mesh, P(mesh.axis_names[0], None))
-    testing_j = jax.device_put(testing_j, spec)
-    dmtest_j = jax.device_put(dmtest_j, spec)
 
     arts = replicate(gp._artifacts, mesh)
     data = replicate(gp._data, mesh)
 
-    mu, var = gp_predict(
-        arts,
-        data,
-        testing_j,
-        dmtest_j,
-        gp.kernel,
-        gp.nugget_type,
-        unc=unc,
-        include_nugget=include_nugget,
-        full_cov=False,
-    )
-    mu = np.asarray(mu, dtype=np.float64)[:n_query]
-    var = None if var is None else np.asarray(var, dtype=np.float64)[:n_query]
-    return mu, var
+    mu_out = np.empty((n_query,), dtype=np.float64)
+    var_out = np.empty((n_query,), dtype=np.float64) if unc else None
+    for c0, c1, padded in _super_chunks(n_query, n_dev, max_batch_size):
+        t_c = _pad_rows(testing[c0:c1], padded)
+        dm_c = gp.get_design_matrix(t_c)
+        testing_j = jax.device_put(jnp.asarray(t_c, dtype=dtype), spec)
+        dmtest_j = jax.device_put(jnp.asarray(dm_c, dtype=dtype), spec)
+
+        mu, var = gp_predict(
+            arts,
+            data,
+            testing_j,
+            dmtest_j,
+            gp.kernel,
+            gp.nugget_type,
+            unc=unc,
+            include_nugget=include_nugget,
+            full_cov=False,
+        )
+        mu_out[c0:c1] = np.asarray(mu, dtype=np.float64)[: c1 - c0]
+        if unc:
+            var_out[c0:c1] = np.asarray(var, dtype=np.float64)[: c1 - c0]
+    return mu_out, var_out

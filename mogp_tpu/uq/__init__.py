@@ -9,6 +9,7 @@ from .experimental_design import (
     MonteCarloDesign,
 )
 from .history_matching import HistoryMatching
+from .mice_device import DeviceMICEDesign
 from .sequential_design import MICEDesign, MICEFastGP, SequentialDesign
 from .smc import SMCResult, smc_history_match, systematic_resample
 from .validation import (
@@ -32,6 +33,7 @@ __all__ = [
     "MaxiMinLHC",
     "MonteCarloDesign",
     "HistoryMatching",
+    "DeviceMICEDesign",
     "MICEDesign",
     "MICEFastGP",
     "SequentialDesign",

@@ -159,3 +159,58 @@ def test_sample_mogp_mcmc():
         # so proximity to the MAP is not asserted; mixing is)
         assert np.all(res.rhat < 1.3)
         assert res.accept_prob.mean() > 0.5
+
+
+def test_nuts_posterior_matches_quadrature_oracle():
+    """NUTS posterior mean/variance vs an exact dense-grid quadrature of
+    the same (f64) log posterior -- the "matching reference posteriors
+    within MC error" gate of the BASELINE north star.  The posterior is
+    the 2-parameter raw-space density of a noiseless 1-D GP with a fixed
+    nugget (well-identified, fully contained in the grid: the edge mass
+    is checked to be negligible), so the quadrature moments are exact to
+    grid resolution and the only error budget is the sampler's own MCSE.
+    """
+    from mogp_tpu.models.fitting import _OPT_LADDER
+    from mogp_tpu.models.gp import gp_nlp
+    from mogp_tpu.models.priors import GPPriors, LogNormalPrior
+
+    rng = np.random.RandomState(42)
+    x = rng.uniform(0, 1, size=(20, 1))
+    y = np.sin(4 * x[:, 0])
+    priors = GPPriors(
+        corr=[LogNormalPrior(0.5, 0.3)],
+        cov=LogNormalPrior(0.5, 1.0),
+        nugget_type="fixed",
+    )
+    gp = GaussianProcess(x, y, nugget=1e-6, priors=priors)
+
+    g1 = np.linspace(-8.0, 12.0, 301)
+    g2 = np.linspace(-10.0, 10.0, 301)
+    G1, G2 = np.meshgrid(g1, g2, indexing="ij")
+    pts = jnp.asarray(np.stack([G1.ravel(), G2.ravel()], axis=1))
+    nlp = jax.vmap(
+        lambda r: gp_nlp(r, gp._data, gp.kernel, gp.nugget_type,
+                         sparse_ladder=_OPT_LADDER)
+    )(pts)
+    nlp = np.asarray(nlp)
+    nlp = np.where(np.isfinite(nlp), nlp, np.inf)
+    w = np.exp(-(nlp - nlp.min()))
+    w /= w.sum()
+    mean_q = (w[:, None] * np.asarray(pts)).sum(0)
+    var_q = (w[:, None] * (np.asarray(pts) - mean_q) ** 2).sum(0)
+    ww = w.reshape(301, 301)
+    edge_mass = ww[0].sum() + ww[-1].sum() + ww[:, 0].sum() + ww[:, -1].sum()
+    assert edge_mass < 1e-8, "quadrature grid does not contain the posterior"
+
+    np.random.seed(0)
+    gp = fit_GP_MAP(gp, n_tries=4, maxiter=100)
+    res = sample_GP_MCMC(gp, n_samples=1000, n_warmup=400, n_chains=4,
+                         seed=3, theta0=gp.theta.get_data())
+    assert np.all(res.rhat < 1.05)
+    s = res.samples.reshape(-1, gp.n_params)
+
+    # posterior means agree within 4x the Monte-Carlo standard error
+    mcse = np.sqrt(var_q / np.maximum(res.ess, 1.0))
+    assert np.all(np.abs(s.mean(0) - mean_q) < 4.0 * mcse + 1e-3)
+    # posterior variances agree to ~MC accuracy (Var MCSE ~ var*sqrt(2/ess))
+    assert_allclose(s.var(0), var_q, rtol=0.2)

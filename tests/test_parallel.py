@@ -136,6 +136,47 @@ def test_sharded_predict_mogp_matches_local():
     np.testing.assert_allclose(var_s, var_l, rtol=1e-8, atol=1e-12)
 
 
+def test_sharded_fit_heterogeneous_matches_local():
+    """Mixed kernel/nugget configurations go through the SAME per-group
+    dispatch on the mesh path as unsharded fitting (VERDICT r3 #7)."""
+    kernels = ["SquaredExponential"] * 4 + ["Matern52"] * 4
+    nuggets = ["adaptive"] * 4 + ["fit"] * 4
+
+    np.random.seed(3)
+    mgp_local = fit_GP_MAP(
+        MultiOutputGP(X, YS, kernel=list(kernels), nugget=list(nuggets)),
+        n_tries=2, maxiter=30,
+    )
+    np.random.seed(3)
+    mgp_shard = sharded_fit_mogp(
+        MultiOutputGP(X, YS, kernel=list(kernels), nugget=list(nuggets)),
+        n_tries=2, mesh=auto_mesh(8), maxiter=30,
+    )
+    assert len(mgp_shard.get_indices_fit()) == 8
+    for a, b in zip(mgp_local.emulators, mgp_shard.emulators):
+        assert_allclose(
+            a.theta.get_data(), b.theta.get_data(), rtol=1e-6, atol=1e-7
+        )
+
+
+def test_mogp_mcmc_heterogeneous():
+    """sample_MOGP_MCMC dispatches per signature group (mixed kernels)."""
+    from mogp_tpu.models.inference import sample_MOGP_MCMC
+
+    kernels = ["SquaredExponential", "Matern52", "SquaredExponential"]
+    np.random.seed(4)
+    mgp = fit_GP_MAP(
+        MultiOutputGP(X, YS[:3], kernel=list(kernels), nugget="fit"),
+        n_tries=2, maxiter=30,
+    )
+    results = sample_MOGP_MCMC(mgp, n_samples=20, n_warmup=20, n_chains=2,
+                               seed=0)
+    assert len(results) == 3
+    for res in results:
+        assert res.samples.shape == (2, 20, mgp.emulators[0].n_params)
+        assert np.all(np.isfinite(res.samples))
+
+
 def test_sharded_history_matching_mogp():
     """HistoryMatching with a mesh + MultiOutputGP must use the sharded
     path and agree with the unsharded result."""
