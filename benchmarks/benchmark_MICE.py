@@ -1,8 +1,18 @@
-"""MICE sequential design vs one-shot LHC (Branin-2D).
+"""MICE sequential design vs one-shot LHC (Branin-2D), plus the
+fixed-shape device engine at candidate scale.
 
 Analogue of reference ``benchmarks/benchmark_MICE.py``: for equal total
 budgets, a MICE-designed GP should match or beat an LHC-designed GP.
+
+``--device-scale`` additionally runs ``DeviceMICEDesign`` (two compiled
+programs for the whole loop) at ``--n-cand`` candidates (default 1e5,
+BASELINE config 4) and reports PER-STEP wall-clock -- flat after the
+first (compiling) step is the acceptance criterion, vs the reference's
+recompile-per-step growth.
 """
+
+import argparse
+import time
 
 import numpy as np
 
@@ -57,5 +67,51 @@ def main():
     print_table(["n_total", "rmse_lhc", "rmse_mice"], rows)
 
 
+def device_scale(n_cand=100_000, n_init=16, n_samples=8, cand_block=4096,
+                 n_tries=8, maxiter=60):
+    """DeviceMICEDesign at candidate scale: per-step wall-clock trace."""
+    from mogp_tpu.uq.mice_device import (
+        _mice_fit_step, _mice_score_step, DeviceMICEDesign,
+    )
+
+    np.random.seed(8213)
+    bounds = [(-5.0, 10.0), (0.0, 15.0)]
+
+    def f(x):
+        return branin(np.atleast_2d(x))[0]
+
+    md = DeviceMICEDesign(
+        mogp_tpu.LatinHypercubeDesign(bounds), f,
+        n_samples=n_samples, n_init=n_init, n_cand=n_cand,
+        cand_block=cand_block, n_tries=n_tries, maxiter=maxiter,
+    )
+    md.run_initial_design()
+    steps = []
+    for i in range(n_samples):
+        t0 = time.perf_counter()
+        md.run_next_point()
+        dt = time.perf_counter() - t0
+        steps.append(dt)
+        print("step {:2d}: {:8.2f} s   (fit programs: {}, score programs: {})"
+              .format(i, dt, _mice_fit_step._cache_size(),
+                      _mice_score_step._cache_size()), flush=True)
+    warm = steps[1:] if len(steps) > 1 else steps
+    print("n_cand={}  first(+compile)={:.1f}s  warm median={:.2f}s  "
+          "warm max/min={:.2f}  compiled shapes: fit={} score={}".format(
+              n_cand, steps[0], float(np.median(warm)),
+              max(warm) / max(min(warm), 1e-9),
+              _mice_fit_step._cache_size(), _mice_score_step._cache_size()))
+
+
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--device-scale", action="store_true")
+    ap.add_argument("--n-cand", type=int, default=100_000)
+    ap.add_argument("--n-samples", type=int, default=8)
+    ap.add_argument("--cand-block", type=int, default=4096)
+    args = ap.parse_args()
+    if args.device_scale:
+        device_scale(n_cand=args.n_cand, n_samples=args.n_samples,
+                     cand_block=args.cand_block)
+    else:
+        main()

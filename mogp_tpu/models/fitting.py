@@ -139,31 +139,51 @@ def _extract_opt_options(kwargs):
 
 
 def _race_plan(n_tries, maxiter, race):
-    """Two-phase restart tournament ("race") schedule.
+    """Multi-stage restart tournament ("race") schedule.
 
     The reference runs every restart to convergence and keeps the best
     (``fitting.py:237-264``); in a lockstep batch that makes every lane
     pay for the slowest restart that will mostly be thrown away.  The
-    race spends a short phase A on ALL restarts, then lets only the
-    top ``keep`` per output finish: with 15 restarts and keep=3 the
-    expensive long tail runs at 1/5 the lane count.  The winner still
-    satisfies the same convergence criteria on the same objective;
-    restarts are random starts, so which local optimum wins was never
-    deterministic to begin with.  Disable with ``race=False`` for the
-    strict all-restarts-full-budget schedule.
+    race spends a short first stage on ALL restarts, then lets only the
+    top ``keep`` per output advance, possibly through further cuts.  The
+    winner still satisfies the same convergence criteria on the same
+    objective; restarts are random starts, so which local optimum wins
+    was never deterministic to begin with.  Disable with ``race=False``
+    for the strict all-restarts-full-budget schedule.
 
-    :returns: ``(phase_a_iters, keep, phase_b_iters)`` or ``None`` when
-              racing is off / not worthwhile.
+    The schedule can be overridden with ``MOGP_TPU_RACE_STAGES``, a
+    comma list of ``iters:keep`` cut stages (e.g. ``"16:6,16:3"``); the
+    final stage always runs the remaining budget (at least ``maxiter -
+    sum(stage iters)``, floored at 12) on the survivors.
+
+    :returns: list of ``(iters, keep)`` stages ending with a final
+              ``(iters, None)`` stage, or ``None`` when racing is off /
+              not worthwhile.
     """
     if not race or n_tries < 4 or maxiter < 16:
         return None
-    # phase lengths tuned on the tsunami-shape benchmark: a 12-iteration
-    # phase A mispredicted the final ranking on ~10/16 outputs (mean NLP
-    # regression +0.32); 16 iterations with the top quarter kept closes
-    # the gap while still racing the long tail at ~1/4 lane count
-    phase_a = max(12, maxiter // 3)
+    env = os.environ.get("MOGP_TPU_RACE_STAGES")
+    if env:
+        stages = []
+        used = 0
+        for part in env.split(","):
+            iters, keep = part.split(":")
+            stages.append((int(iters), max(2, int(keep))))
+            used += int(iters)
+        stages.append((max(maxiter - used, 12), None))
+        return stages
+    # stage length tuned on the tsunami-shape benchmark (v5e A/B table
+    # in docs/tpu_performance.md; the quality gap is almost entirely
+    # WRONG-WINNER selection, so WHEN the cut happens matters most):
+    # cutting at maxiter/3 (16 of 50 iters) keeping the top quarter
+    # leaves +0.037 mean NLP vs the strict schedule; cutting at
+    # 2*maxiter/5 (20 of 50) measured +0.0088 -- under the 0.01 gate --
+    # at ~95% of the earlier cut's same-session 64-output throughput.
+    # Later cuts (25:4 -> +0.0046) and extra cut stages (16:8,16:4 ->
+    # +0.013) sit strictly worse on the speed/quality Pareto front.
+    phase_a = max(12, (2 * maxiter) // 5)
     keep = max(2, -(-n_tries // 4))
-    return phase_a, keep, max(maxiter - phase_a, phase_a)
+    return [(phase_a, keep), (max(maxiter - phase_a, 12), None)]
 
 
 def _check_method(method):
@@ -187,26 +207,18 @@ def _fit_single_GP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", **kwargs)
     dtype = gp._data.inputs.dtype
     plan = _race_plan(n_tries, maxiter, race)
     if plan is None:
+        plan = [(maxiter, None)]
+    cur = jnp.asarray(starts, dtype=dtype)
+    for iters, keep in plan:
         res = _batched_fit_single(
-            jnp.asarray(starts, dtype=dtype),
-            gp._data, gp.kernel, gp.nugget_type, maxiter, gtol, ftol, ladder,
+            cur, gp._data, gp.kernel, gp.nugget_type, iters, gtol, ftol,
+            ladder,
         )
         fun = np.asarray(res.fun, dtype=np.float64)
         xs = np.asarray(res.x, dtype=np.float64)
-    else:
-        phase_a, keep, phase_b = plan
-        res_a = _batched_fit_single(
-            jnp.asarray(starts, dtype=dtype),
-            gp._data, gp.kernel, gp.nugget_type, phase_a, gtol, ftol, ladder,
-        )
-        fun_a = np.asarray(res_a.fun, dtype=np.float64)
-        top = np.argsort(np.where(np.isfinite(fun_a), fun_a, np.inf))[:keep]
-        res = _batched_fit_single(
-            jnp.asarray(res_a.x, dtype=dtype)[top],
-            gp._data, gp.kernel, gp.nugget_type, phase_b, gtol, ftol, ladder,
-        )
-        fun = np.asarray(res.fun, dtype=np.float64)
-        xs = np.asarray(res.x, dtype=np.float64)
+        if keep is not None:
+            top = np.argsort(np.where(np.isfinite(fun), fun, np.inf))[:keep]
+            cur = jnp.asarray(xs, dtype=dtype)[top]
 
     finite = np.isfinite(fun)
     if not finite.any():
@@ -351,33 +363,29 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False,
 
         plan = _race_plan(n_tries, maxiter, race)
         if plan is None:
+            plan = [(maxiter, None)]
+        cur = starts
+        for stage_idx, (iters, keep) in enumerate(plan):
+            # the first (all-restarts) stage uses the shared chunk
+            # quantum; later stages self-size their chunks (chunk=None ->
+            # fill _MAX_LANES with the survivors): reusing the first
+            # stage's outputs-per-chunk quantum would leave them running
+            # `keep`-lane slivers (e.g. 48 of 240 lanes), where the
+            # latency-bound per-lane cost is several times worse.  Costs
+            # one extra compiled shape per (group size, stage width),
+            # paid once via the persistent cache.
             fun, xs = _run_fit_chunked(
-                ems, starts, em0.kernel, em0.nugget_type, maxiter, gtol, ftol,
-                ladder, dtype, chunk=chunk_q, mesh=mesh,
+                ems, cur, em0.kernel, em0.nugget_type, iters, gtol, ftol,
+                ladder, dtype, chunk=(chunk_q if stage_idx == 0 else None),
+                mesh=mesh,
             )
-        else:
-            phase_a, keep, phase_b = plan
-            fun_a, xs_a = _run_fit_chunked(
-                ems, starts, em0.kernel, em0.nugget_type, phase_a, gtol, ftol,
-                ladder, dtype, chunk=chunk_q, mesh=mesh,
-            )
-            # top `keep` restarts per output advance to the full-budget
-            # phase; non-finite restarts sort last
-            order = np.argsort(
-                np.where(np.isfinite(fun_a), fun_a, np.inf), axis=1
-            )[:, :keep]
-            starts_b = np.take_along_axis(xs_a, order[:, :, None], axis=1)
-            # phase B sizes its own chunks (chunk=None -> fill _MAX_LANES
-            # with `keep` lanes per output): reusing phase A's
-            # outputs-per-chunk quantum left phase B running `keep`-lane
-            # slivers (e.g. 48 of 240 lanes), where the latency-bound
-            # per-lane cost is several times worse.  Costs one extra
-            # compiled shape per group size, paid once via the
-            # persistent cache.
-            fun, xs = _run_fit_chunked(
-                ems, starts_b, em0.kernel, em0.nugget_type, phase_b, gtol,
-                ftol, ladder, dtype, mesh=mesh,
-            )
+            if keep is not None:
+                # top `keep` restarts per output advance; non-finite
+                # restarts sort last
+                order = np.argsort(
+                    np.where(np.isfinite(fun), fun, np.inf), axis=1
+                )[:, :keep]
+                cur = np.take_along_axis(xs, order[:, :, None], axis=1)
 
         best_raw = np.empty((G, starts.shape[-1]), dtype=np.float64)
         fit_rows = []

@@ -388,18 +388,26 @@ def gp_predict_tiled(
     return mu, var.reshape(-1)[:m]
 
 
-def _predict_tile_size(n_testing, max_batch_size):
+def _predict_tile_size(n_testing, max_batch_size, n_train=None, n_lanes=1):
     """Resolve the query-tile size for chunked prediction.
 
-    ``None`` -> automatic: unchunked below ``_AUTO_PREDICT_TILE`` points,
-    tiles of ``_AUTO_PREDICT_TILE`` above (bounding HBM for huge sweeps
-    without a flag, like the reference GPU class's default
-    ``max_batch_size=2000``).  An explicit value is rounded up to a
-    multiple of 256 (TPU lane quantum; also collapses near-identical
-    compiled shapes).  Returns 0 for "do not chunk".
+    ``None`` -> automatic: unchunked below the auto tile, tiled above
+    (bounding HBM for huge sweeps without a flag, like the reference GPU
+    class's default ``max_batch_size=2000``).  The auto tile shrinks
+    with the per-tile working set: each tile holds ~4 ``(n_lanes,
+    n_train, tile)`` f32 buffers (cross-covariance, half-solves, fusion
+    temporaries), kept under ``_PREDICT_TILE_BYTES`` so e.g. a
+    64-output sweep does not OOM where a single-output one fits.  An
+    explicit value is rounded up to a multiple of 256 (TPU lane
+    quantum; also collapses near-identical compiled shapes).  Returns 0
+    for "do not chunk".
     """
     if max_batch_size is None:
-        return _AUTO_PREDICT_TILE if n_testing > _AUTO_PREDICT_TILE else 0
+        tile = _AUTO_PREDICT_TILE
+        if n_train:
+            budget = _PREDICT_TILE_BYTES // (16 * int(n_train) * max(1, n_lanes))
+            tile = min(tile, max(256, budget // 256 * 256))
+        return tile if n_testing > tile else 0
     tile = int(max_batch_size)
     assert tile > 0, "max_batch_size must be positive"
     tile = -(-tile // 256) * 256
@@ -407,6 +415,7 @@ def _predict_tile_size(n_testing, max_batch_size):
 
 
 _AUTO_PREDICT_TILE = 32768
+_PREDICT_TILE_BYTES = 1 << 30
 
 
 # ---------------------------------------------------------------------------
@@ -776,7 +785,7 @@ class GaussianProcess(GaussianProcessBase):
         dtype = self._data.inputs.dtype
 
         tile = 0 if full_cov else _predict_tile_size(
-            testing.shape[0], max_batch_size
+            testing.shape[0], max_batch_size, n_train=self.n
         )
         if tile:
             mu, var = gp_predict_tiled(

@@ -24,7 +24,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.hmc import sample_nuts
+from ..ops.hmc import (
+    nuts_sample_segment,
+    nuts_warmup_finish,
+    nuts_warmup_init,
+    nuts_warmup_segment,
+    sample_nuts,
+)
 from .fitting import _OPT_LADDER
 from .gp import GaussianProcess, gp_fit, gp_nlp, gp_predict
 
@@ -141,6 +147,158 @@ def _effective_sample_size(samples):
 # NUTS over GP hyperparameters
 # ---------------------------------------------------------------------------
 
+# Per-dispatch budget in chain-iterations (lanes x scan length).  One XLA
+# execution that runs for minutes trips the TPU runtime's watchdog and
+# crashes the worker (observed on v5e/axon: 8 chains x 400 iterations of
+# the tsunami-shape GP posterior complete in one dispatch; 64 chains x
+# 400 fault).  Above the budget, chains run through the segmented
+# ops.hmc API -- identical math and key stream, with each dispatch
+# bounded; the budget is the known-good single-dispatch point.
+_NUTS_SEG_BUDGET = 3200
+
+
+def _auto_segment(n_lanes, n_iters):
+    """Segment length bounding per-dispatch work, or None to run the
+    whole phase in one program."""
+    total = n_lanes * n_iters
+    if total <= _NUTS_SEG_BUDGET:
+        return None
+    n_parts = min(-(-total // _NUTS_SEG_BUDGET), n_iters)
+    return -(-n_iters // n_parts)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "nugget_type", "max_depth", "target_accept",
+                     "n_warmup", "n_samples"),
+)
+def _nuts_single_program(data, q0, keys, kernel, nugget_type, n_warmup,
+                         n_samples, max_depth, target_accept):
+    """(outputs x chains) chains in ONE program (small runs)."""
+
+    def one_output(d, qs, ks):
+        def potential(raw):
+            return gp_nlp(raw, d, kernel, nugget_type,
+                          sparse_ladder=_OPT_LADDER)
+
+        return jax.vmap(
+            lambda q, k: sample_nuts(
+                potential, q, k, n_warmup=n_warmup, n_samples=n_samples,
+                max_depth=max_depth, target_accept=target_accept,
+            )
+        )(qs, ks)
+
+    return jax.vmap(one_output)(data, q0, keys)
+
+
+@partial(jax.jit, static_argnames=("kernel", "nugget_type"))
+def _nuts_init(data, q0, keys, kernel, nugget_type):
+    def one(d, qs, ks):
+        def potential(raw):
+            return gp_nlp(raw, d, kernel, nugget_type,
+                          sparse_ladder=_OPT_LADDER)
+
+        return jax.vmap(lambda q, k: nuts_warmup_init(potential, q, k))(
+            qs, ks
+        )
+
+    return jax.vmap(one)(data, q0, keys)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "nugget_type", "n_seg", "n_warmup",
+                     "max_depth", "target_accept"),
+)
+def _nuts_warmup_seg(data, carry, i0, kernel, nugget_type, n_seg, n_warmup,
+                     max_depth, target_accept):
+    def one(d, c):
+        def potential(raw):
+            return gp_nlp(raw, d, kernel, nugget_type,
+                          sparse_ladder=_OPT_LADDER)
+
+        return jax.vmap(
+            lambda cc: nuts_warmup_segment(
+                potential, cc, i0, n_seg, n_warmup,
+                max_depth=max_depth, target_accept=target_accept,
+            )
+        )(c)
+
+    return jax.vmap(one)(data, carry)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("kernel", "nugget_type", "n_seg", "max_depth"),
+)
+def _nuts_sample_seg(data, carry, kernel, nugget_type, n_seg, max_depth):
+    def one(d, c):
+        def potential(raw):
+            return gp_nlp(raw, d, kernel, nugget_type,
+                          sparse_ladder=_OPT_LADDER)
+
+        return jax.vmap(
+            lambda cc: nuts_sample_segment(potential, cc, n_seg,
+                                           max_depth=max_depth)
+        )(c)
+
+    return jax.vmap(one)(data, carry)
+
+
+def _run_nuts_chains(data, q0, chain_keys, kernel, nugget_type, n_warmup,
+                     n_samples, max_depth, target_accept, segment=None):
+    """Run (outputs x chains) NUTS chains over a stacked ``GPData``,
+    segmenting long runs into bounded dispatches (``_NUTS_SEG_BUDGET``).
+
+    All segment programs are module-level jits keyed on shapes and the
+    (hashable) kernel/nugget statics, so repeated calls and successive
+    segments reuse ONE compiled program per shape.
+
+    :param q0: ``(G, C, P)`` initial positions.
+    :returns: ``(samples (G, C, n_samples, P), NUTSInfo stacked)``.
+    """
+    G, C, P = q0.shape
+    lanes = G * C
+    seg_w = segment or _auto_segment(lanes, n_warmup)
+    seg_s = segment or _auto_segment(lanes, n_samples)
+    if seg_w is None and seg_s is None:
+        return _nuts_single_program(
+            data, q0, chain_keys, kernel, nugget_type, n_warmup, n_samples,
+            max_depth, target_accept,
+        )
+
+    carry = _nuts_init(data, q0, chain_keys, kernel, nugget_type)
+    i0 = 0
+    seg_w = seg_w or n_warmup
+    while i0 < n_warmup:
+        n_seg = min(seg_w, n_warmup - i0)
+        carry = _nuts_warmup_seg(
+            data, carry, jnp.asarray(i0, jnp.int32), kernel, nugget_type,
+            n_seg, n_warmup, max_depth, target_accept,
+        )
+        i0 += n_seg
+    scarry = jax.vmap(jax.vmap(nuts_warmup_finish))(carry)
+
+    seg_s = seg_s or n_samples
+    sample_parts, info_parts = [], []
+    done = 0
+    while done < n_samples:
+        n_seg = min(seg_s, n_samples - done)
+        scarry, s, info = _nuts_sample_seg(
+            data, scarry, kernel, nugget_type, n_seg, max_depth
+        )
+        # host materialization per segment keeps at most one segment of
+        # samples on device and bounds the dispatch queue
+        sample_parts.append(np.asarray(s))
+        info_parts.append(jax.device_get(info))
+        done += n_seg
+    samples = jnp.asarray(np.concatenate(sample_parts, axis=2))
+    infos = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=2), *info_parts
+    )
+    return samples, infos
+
+
 def sample_GP_MCMC(
     gp: GaussianProcess,
     n_samples=500,
@@ -151,6 +309,7 @@ def sample_GP_MCMC(
     target_accept=0.8,
     theta0=None,
     mesh=None,
+    segment=None,
 ):
     """Sample the GP hyperparameter posterior with NUTS.
 
@@ -159,21 +318,22 @@ def sample_GP_MCMC(
     programs; no collectives are needed until diagnostics, which run as
     reductions over the gathered samples).
 
+    Trajectory evaluations use the reduced jitter ladder (see
+    ``fitting._OPT_LADDER``): with ``nugget="adaptive"`` a data-dependent
+    ladder would make the target density discontinuous in raw space; the
+    single fixed 1e-6*mean-diag rung is both ~3x cheaper per leapfrog
+    step and a smooth, well-defined posterior.
+
+    Long many-chain runs automatically split into bounded-length
+    dispatches (``segment`` overrides the per-phase segment length; see
+    ``_NUTS_SEG_BUDGET``) -- one multi-minute XLA execution would trip
+    the TPU runtime watchdog.
+
     :returns: ``MCMCResult`` with raw-space samples and diagnostics.
     """
     dtype = gp._data.inputs.dtype
-    data = gp._data
     kernel = gp.kernel
     nugget_type = gp.nugget_type
-
-    def potential(raw):
-        # trajectory evaluations use the reduced jitter ladder (see
-        # fitting._OPT_LADDER): with nugget="adaptive" a data-dependent
-        # ladder would make the target density discontinuous in raw; the
-        # single fixed 1e-6*mean-diag rung is both ~3x cheaper per
-        # leapfrog step and a smooth, well-defined posterior
-        return gp_nlp(raw, data, kernel, nugget_type,
-                      sparse_ladder=_OPT_LADDER)
 
     key = jax.random.PRNGKey(seed)
     key_init, key_run = jax.random.split(key)
@@ -195,23 +355,17 @@ def sample_GP_MCMC(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        spec = NamedSharding(mesh, P(mesh.axis_names[0]))
         q0 = jax.device_put(q0, NamedSharding(mesh, P(mesh.axis_names[0], None)))
         chain_keys = jax.device_put(chain_keys, NamedSharding(
             mesh, P(mesh.axis_names[0], None)))
 
-    run = jax.vmap(
-        lambda q, k: sample_nuts(
-            potential,
-            q,
-            k,
-            n_warmup=n_warmup,
-            n_samples=n_samples,
-            max_depth=max_depth,
-            target_accept=target_accept,
-        )
+    data1 = jax.tree_util.tree_map(lambda x: x[None], gp._data)
+    samples, infos = _run_nuts_chains(
+        data1, q0[None], chain_keys[None], kernel, nugget_type, n_warmup,
+        n_samples, max_depth, target_accept, segment=segment,
     )
-    samples, infos = run(q0, chain_keys)
+    samples = samples[0]
+    infos = jax.tree_util.tree_map(lambda x: x[0], infos)
 
     rhat = potential_scale_reduction(samples)
     ess = effective_sample_size(samples)
@@ -234,6 +388,7 @@ def sample_MOGP_MCMC(
     max_depth=8,
     target_accept=0.8,
     mesh=None,
+    segment=None,
 ):
     """NUTS posteriors for every output of a MultiOutputGP at once.
 
@@ -303,19 +458,10 @@ def sample_MOGP_MCMC(
             # groups not divisible by the mesh fall back to the default
             # (replicated) placement; correctness is unaffected
 
-        def one_output(data, q0_chains, keys):
-            def potential(raw):
-                return gp_nlp(raw, data, kernel, nugget_type,
-                              sparse_ladder=_OPT_LADDER)
-
-            return jax.vmap(
-                lambda q, k: sample_nuts(
-                    potential, q, k, n_warmup=n_warmup, n_samples=n_samples,
-                    max_depth=max_depth, target_accept=target_accept,
-                )
-            )(q0_chains, keys)
-
-        samples, infos = jax.vmap(one_output)(data_stack, q0, chain_keys)
+        samples, infos = _run_nuts_chains(
+            data_stack, q0, chain_keys, kernel, nugget_type, n_warmup,
+            n_samples, max_depth, target_accept, segment=segment,
+        )
         # samples: (G, n_chains, n_samples, P)
 
         for j, i in enumerate(rel):

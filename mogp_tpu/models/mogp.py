@@ -230,7 +230,7 @@ class MultiOutputGP(MultiOutputGPBase):
             data = _stack_pytrees([em._data for em in ems])
             dmtest = em0.get_design_matrix(testing)
             tile = 0 if full_cov else _predict_tile_size(
-                n_testing, max_batch_size
+                n_testing, max_batch_size, n_train=self.n, n_lanes=len(ems)
             )
             if tile:
                 mu, var = _batched_predict_tiled(

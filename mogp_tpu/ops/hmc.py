@@ -30,7 +30,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["NUTSInfo", "nuts_kernel", "sample_nuts", "potential_and_grad"]
+__all__ = [
+    "NUTSInfo",
+    "nuts_kernel",
+    "sample_nuts",
+    "potential_and_grad",
+    "nuts_warmup_init",
+    "nuts_warmup_segment",
+    "nuts_warmup_finish",
+    "nuts_sample_segment",
+]
 
 
 def potential_and_grad(potential_fn):
@@ -480,3 +489,125 @@ def sample_nuts(
         sample_step, (key, q, u, grad), None, length=n_samples
     )
     return samples, infos
+
+
+# ---------------------------------------------------------------------------
+# Segmented sampling: the same chain split into bounded-length dispatches
+# ---------------------------------------------------------------------------
+#
+# A single `sample_nuts` program runs the WHOLE chain in one XLA
+# execution.  For many chains x many iterations that one dispatch can run
+# for minutes, which the TPU runtime's execution watchdog treats as a
+# fault (observed: a 64-chain, 400-iteration GP-posterior run crashes the
+# worker, while 8 chains complete).  The segmented API below carries the
+# exact warmup/sampling state across fixed-size `lax.scan` segments so a
+# host loop can bound per-dispatch wall-clock; the composed chain is
+# IDENTICAL to the single-program one (same kernel, same dual-averaging /
+# Welford state, same key stream).
+
+
+class NUTSWarmupCarry(NamedTuple):
+    key: jnp.ndarray
+    q: jnp.ndarray
+    u: jnp.ndarray
+    grad: jnp.ndarray
+    da: _DAState
+    inv_mass: jnp.ndarray
+    welford: _WelfordState
+
+
+class NUTSSampleCarry(NamedTuple):
+    key: jnp.ndarray
+    q: jnp.ndarray
+    u: jnp.ndarray
+    grad: jnp.ndarray
+    step_size: jnp.ndarray
+    inv_mass: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("potential_fn",))
+def nuts_warmup_init(potential_fn, q0, key, init_step_size=0.1):
+    """Initial warmup carry for one chain (vmap over (q0, key))."""
+    u0, grad0 = jax.value_and_grad(potential_fn)(q0)
+    P = q0.shape[0]
+    dtype = q0.dtype
+    return NUTSWarmupCarry(
+        key=key, q=q0, u=u0, grad=grad0,
+        da=_da_init(jnp.asarray(init_step_size, dtype=dtype)),
+        inv_mass=jnp.ones(P, dtype=dtype),
+        welford=_welford_init(P, dtype),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("potential_fn", "n_seg", "n_warmup", "max_depth",
+                     "target_accept"),
+)
+def nuts_warmup_segment(potential_fn, carry, i0, n_seg, n_warmup,
+                        max_depth=8, target_accept=0.8):
+    """Advance warmup by ``n_seg`` iterations starting at global index
+    ``i0`` (traced).  The Stan-style mass-matrix refresh checkpoints at
+    50%/90% of ``n_warmup`` fire on the global index, so any segmentation
+    composes to the exact single-program warmup."""
+    kernel = nuts_kernel(potential_fn, max_depth=max_depth)
+    P = carry.q.shape[0]
+    dtype = carry.q.dtype
+    m1 = int(n_warmup * 0.5)
+    m2 = int(n_warmup * 0.9)
+
+    def warmup_step(c, i):
+        key, sub = jax.random.split(c.key)
+        step_size = jnp.exp(c.da.log_step)
+        q, u, grad, info = kernel(sub, c.q, c.u, c.grad, step_size,
+                                  c.inv_mass)
+        da = _da_update(c.da, info.accept_prob, target=target_accept)
+        welford = _welford_update(c.welford, q)
+
+        def refresh(args):
+            da, inv_mass, welford = args
+            new_inv_mass = _welford_var(welford)
+            new_da = _da_init(jnp.exp(da.log_step_avg))
+            return new_da, new_inv_mass, _welford_init(P, dtype)
+
+        da, inv_mass, welford = lax.cond(
+            jnp.logical_or(i == m1, i == m2),
+            refresh,
+            lambda args: args,
+            (da, c.inv_mass, welford),
+        )
+        return NUTSWarmupCarry(key, q, u, grad, da, inv_mass, welford), None
+
+    carry, _ = lax.scan(warmup_step, carry, i0 + jnp.arange(n_seg))
+    return carry
+
+
+@jax.jit
+def nuts_warmup_finish(carry):
+    """Freeze the adapted step size / mass matrix into a sampling carry."""
+    return NUTSSampleCarry(
+        key=carry.key, q=carry.q, u=carry.u, grad=carry.grad,
+        step_size=jnp.exp(carry.da.log_step_avg),
+        inv_mass=carry.inv_mass,
+    )
+
+
+@partial(jax.jit, static_argnames=("potential_fn", "n_seg", "max_depth"))
+def nuts_sample_segment(potential_fn, carry, n_seg, max_depth=8):
+    """Draw ``n_seg`` samples, returning the carry for the next segment.
+
+    :returns: ``(carry, samples (n_seg, P), NUTSInfo (stacked))``.
+    """
+    kernel = nuts_kernel(potential_fn, max_depth=max_depth)
+
+    def sample_step(c, _):
+        key, sub = jax.random.split(c.key)
+        q, u, grad, info = kernel(sub, c.q, c.u, c.grad, c.step_size,
+                                  c.inv_mass)
+        return NUTSSampleCarry(key, q, u, grad, c.step_size, c.inv_mass), (
+            q, info,
+        )
+
+    carry, (samples, infos) = lax.scan(sample_step, carry, None,
+                                       length=n_seg)
+    return carry, samples, infos

@@ -64,7 +64,7 @@ def sharded_fit_mogp(
     )
 
 
-def _super_chunks(n_query, n_dev, max_batch_size):
+def _super_chunks(n_query, n_dev, max_batch_size, n_train=None, n_lanes=1):
     """Yield ``(start, stop, padded_len)`` fixed-shape query super-chunks.
 
     The per-device tile is resolved by the same policy as single-chip
@@ -77,7 +77,8 @@ def _super_chunks(n_query, n_dev, max_batch_size):
     sharding.
     """
     per_dev = -(-n_query // n_dev)
-    tile = _predict_tile_size(per_dev, max_batch_size)
+    tile = _predict_tile_size(per_dev, max_batch_size, n_train=n_train,
+                              n_lanes=n_lanes)
     if tile == 0:
         # unchunked: one chunk, padded to a device multiple
         yield 0, n_query, n_dev * per_dev
@@ -146,7 +147,8 @@ def sharded_predict_mogp(gp, testing, mesh=None, unc=True,
         arts = replicate(_stack_pytrees([em._artifacts for em in ems]), mesh)
         data = replicate(_stack_pytrees([em._data for em in ems]), mesh)
 
-        for c0, c1, padded in _super_chunks(n_query, n_dev, max_batch_size):
+        for c0, c1, padded in _super_chunks(n_query, n_dev, max_batch_size,
+                                            n_train=em0.n, n_lanes=len(ems)):
             t_c = _pad_rows(testing[c0:c1], padded)
             dm_c = em0.get_design_matrix(t_c)
             testing_j = jax.device_put(jnp.asarray(t_c, dtype=dtype), spec)
@@ -188,7 +190,8 @@ def sharded_predict(gp, testing, mesh=None, unc=True, include_nugget=True,
 
     mu_out = np.empty((n_query,), dtype=np.float64)
     var_out = np.empty((n_query,), dtype=np.float64) if unc else None
-    for c0, c1, padded in _super_chunks(n_query, n_dev, max_batch_size):
+    for c0, c1, padded in _super_chunks(n_query, n_dev, max_batch_size,
+                                        n_train=gp.n):
         t_c = _pad_rows(testing[c0:c1], padded)
         dm_c = gp.get_design_matrix(t_c)
         testing_j = jax.device_put(jnp.asarray(t_c, dtype=dtype), spec)

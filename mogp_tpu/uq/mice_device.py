@@ -47,7 +47,7 @@ from jax import lax
 from ..models.gp import _prior_logp, make_gp_data
 from ..models.priors import GPPriors
 from ..ops.kernels import get_kernel
-from ..ops.cholesky import ChoFactor, cholesky_factor, fixed_cholesky
+from ..ops.cholesky import cholesky_factor, jit_cholesky
 from ..ops.lbfgs import lbfgs_minimize
 from ..ops.linalg import marginal_core, marginal_nlp
 from .sequential_design import MICEDesign, _loo_variances_all
@@ -178,9 +178,15 @@ def _mice_score_step(raw, data, mask, cand_blocks, fast_nugget, kernel,
             sigma2 + nugget - jnp.sum(half**2, axis=0), 0.0
         )
         # candidate-GP LOO variance (Woodbury, one stacked half-solve;
-        # SequentialDesign.py:705-748 vectorized)
+        # SequentialDesign.py:705-748 vectorized).  The candidate
+        # covariance factorizes through the adaptive jitter ladder on
+        # top of the smoothing nugget: dense candidate clouds (1e5
+        # points in a low-D box) are numerically singular in f32 at any
+        # fixed nugget, and the reference's answer -- catch LinAlgError
+        # and refit everything (SequentialDesign.py:960) -- would throw
+        # away a good base fit
         C = sigma2 * kernel.kernel_f(cand, cand, corr_raw)
-        Lq = ChoFactor(fixed_cholesky(C + fast_nugget * eye_b))
+        Lq, _ = jit_cholesky(C + fast_nugget * eye_b)
         WV = Lq.solve_L(jnp.concatenate([C, eye_b], axis=1))
         unc2 = _loo_variances_all(
             WV[:, :B], WV[:, B:], sigma2 + fast_nugget, sigma2

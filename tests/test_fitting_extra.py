@@ -131,3 +131,37 @@ def test_fit_returns_same_object():
     mgp = MultiOutputGP(X, Y2)
     out = fit_GP_MAP(mgp, n_tries=2)
     assert out is mgp
+
+
+def test_race_plan_stages():
+    from mogp_tpu.models.fitting import _race_plan
+
+    # off / not worthwhile
+    assert _race_plan(15, 50, False) is None
+    assert _race_plan(3, 50, True) is None
+    assert _race_plan(15, 10, True) is None
+    # default plan: list of (iters, keep) cut stages + final (iters, None)
+    plan = _race_plan(15, 50, True)
+    assert isinstance(plan, list) and plan[-1][1] is None
+    assert all(it > 0 for it, _ in plan)
+    keeps = [k for _, k in plan[:-1]]
+    assert all(keeps[i] >= keeps[i + 1] for i in range(len(keeps) - 1))
+
+
+def test_race_stages_env_override(monkeypatch):
+    from mogp_tpu.models.fitting import _race_plan
+
+    monkeypatch.setenv("MOGP_TPU_RACE_STAGES", "16:6,10:3")
+    plan = _race_plan(15, 50, True)
+    assert plan == [(16, 6), (10, 3), (24, None)]
+    # final stage floored at 12 iterations
+    monkeypatch.setenv("MOGP_TPU_RACE_STAGES", "30:6,18:3")
+    plan = _race_plan(15, 50, True)
+    assert plan[-1] == (12, None)
+
+
+def test_race_stages_env_fit_end_to_end(monkeypatch):
+    monkeypatch.setenv("MOGP_TPU_RACE_STAGES", "8:4,6:2")
+    np.random.seed(77)
+    mgp = fit_GP_MAP(MultiOutputGP(X, Y2), n_tries=5, maxiter=30)
+    assert mgp.get_indices_not_fit() == []

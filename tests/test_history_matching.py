@@ -286,3 +286,43 @@ def test_str_smoke():
     s = str(hm)
     assert "History Matching" in s
     assert "I_threshold: 3.0" in s
+
+
+def test_device_implausibility_sweep_matches_host():
+    """The fused on-device top-k implausibility sweep (large-coords
+    MultiOutputGP path) must equal the host predict-then-partition
+    reduction exactly, including mixed emulator groups, ranks, and
+    per-output discrepancies."""
+    import mogp_tpu.uq.history_matching as hm_mod
+    from mogp_tpu import HistoryMatching, MultiOutputGP, fit_GP_MAP
+
+    rng = np.random.RandomState(17)
+    x = rng.uniform(size=(18, 2))
+    y = np.stack([
+        np.sin(3 * x[:, 0]),
+        np.cos(2 * x[:, 1]),
+        x[:, 0] * x[:, 1],
+        x[:, 0] ** 2,
+    ])
+    kernels = ["SquaredExponential", "Matern52", "SquaredExponential",
+               "Matern52"]
+    np.random.seed(2)
+    mgp = fit_GP_MAP(MultiOutputGP(x, y, kernel=kernels), n_tries=2,
+                     maxiter=30)
+    coords = rng.uniform(size=(531, 2))
+    obs = [[0.4, 0.3, 0.2, 0.25], [0.01, 0.02, 0.015, 0.01]]
+
+    old_min = hm_mod._DEVICE_SWEEP_MIN_COORDS
+    try:
+        for rank, disc in [(1, 0.0), (0, 0.05), (2, [0.01, 0.0, 0.02, 0.0])]:
+            hm_host = HistoryMatching(gp=mgp, obs=obs, coords=coords)
+            hm_mod._DEVICE_SWEEP_MIN_COORDS = 10**12  # force host path
+            I_host = hm_host.get_implausibility(discrepancy=disc, rank=rank)
+
+            hm_dev = HistoryMatching(gp=mgp, obs=obs, coords=coords)
+            hm_mod._DEVICE_SWEEP_MIN_COORDS = 1      # force device path
+            I_dev = hm_dev.get_implausibility(discrepancy=disc, rank=rank)
+
+            np.testing.assert_allclose(I_dev, I_host, rtol=1e-8, atol=1e-10)
+    finally:
+        hm_mod._DEVICE_SWEEP_MIN_COORDS = old_min

@@ -214,3 +214,34 @@ def test_nuts_posterior_matches_quadrature_oracle():
     assert np.all(np.abs(s.mean(0) - mean_q) < 4.0 * mcse + 1e-3)
     # posterior variances agree to ~MC accuracy (Var MCSE ~ var*sqrt(2/ess))
     assert_allclose(s.var(0), var_q, rtol=0.2)
+
+
+def test_segmented_nuts_matches_single_program():
+    """The segmented chain runner (bounded per-dispatch work for large
+    many-chain runs) must compose to the EXACT single-program chain:
+    same kernel, same dual-averaging/Welford state, same key stream."""
+    rng = np.random.RandomState(8)
+    x = rng.uniform(0, 1, size=(15, 2))
+    y = np.sin(3 * x[:, 0]) + x[:, 1]
+    np.random.seed(0)
+    gp = fit_GP_MAP(GaussianProcess(x, y, nugget="fit"), n_tries=2,
+                    maxiter=40)
+    kw = dict(n_samples=40, n_warmup=30, n_chains=2, seed=5,
+              theta0=gp.theta.get_data())
+    res_one = sample_GP_MCMC(gp, **kw)                 # single program
+    res_seg = sample_GP_MCMC(gp, segment=16, **kw)     # 2+3 dispatches
+    assert_allclose(res_seg.samples, res_one.samples, rtol=1e-6, atol=1e-8)
+    assert_allclose(res_seg.accept_prob, res_one.accept_prob,
+                    rtol=1e-6, atol=1e-8)
+
+
+def test_auto_segment_policy():
+    from mogp_tpu.models.inference import _NUTS_SEG_BUDGET, _auto_segment
+
+    # small runs stay single-program
+    assert _auto_segment(8, 400) is None  # the known-good point
+    assert _auto_segment(4, 200) is None
+    # 64 chains x 400 iterations (the observed worker-fault config) split
+    seg = _auto_segment(64, 400)
+    assert seg is not None and seg * 64 <= _NUTS_SEG_BUDGET + 64 * seg % 64
+    assert _auto_segment(64, 400) * (-(-400 // _auto_segment(64, 400))) >= 400

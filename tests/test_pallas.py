@@ -37,7 +37,13 @@ def test_pallas_batched_cholesky_interpret():
     rng2 = np.random.RandomState(5)
     A = rng2.randn(4, 40, 40).astype(np.float32)
     A = A @ np.transpose(A, (0, 2, 1)) + 40 * np.eye(40, dtype=np.float32)
-    from mogp_tpu.ops.pallas_cholesky import cholesky_batched
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from pallas_cholesky_experiment import cholesky_batched
 
     L = np.asarray(cholesky_batched(jnp.asarray(A), interpret=True))
     assert_allclose(L, np.linalg.cholesky(A), atol=2e-4)

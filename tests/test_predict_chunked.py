@@ -50,6 +50,18 @@ def test_tile_size_policy():
         _predict_tile_size(100, 0)
 
 
+def test_tile_size_scales_with_lanes():
+    # the auto tile shrinks with the per-tile working set so wide
+    # multi-output sweeps stay inside the HBM budget
+    assert _predict_tile_size(10**7, None, n_train=210, n_lanes=1) == 32768
+    t64 = _predict_tile_size(10**7, None, n_train=210, n_lanes=64)
+    assert 256 <= t64 <= 8192 and t64 % 256 == 0
+    # never below the 256 lane quantum, even for huge working sets
+    assert _predict_tile_size(10**7, None, n_train=8192, n_lanes=512) == 256
+    # explicit max_batch_size bypasses the auto budget
+    assert _predict_tile_size(10**7, 2048, n_train=210, n_lanes=64) == 2048
+
+
 def test_gp_predict_tiled_matches_untiled(fitted_gp, queries):
     gp = fitted_gp
     dm = gp.get_design_matrix(queries)

@@ -26,13 +26,16 @@ relies on.
 This is the TPU-native counterpart of the reference GPU backend's
 cuSOLVER ``potrf`` usage (``mogp_gpu/src/densegp_gpu.hpp:451-470``).
 
-Status: EXPERIMENTAL.  On a single-core v5e the kernel is VMEM-capacity
-limited (the whole (chunk, n, n) block must be resident, which caps the
-lane utilization of the batch-vectorized steps), and measured throughput
-is comparable to -- not better than -- XLA's batched Cholesky, so the
-production path (``ops.cholesky``) uses the XLA factorization.  On parts
-with larger VMEM or for multi-kernel fusion experiments this kernel is
-the starting point.
+Status: RETIRED EXPERIMENT (moved out of the package in round 4 so
+``mogp_tpu/`` contains only load-bearing code).  On a single-core v5e
+the kernel is VMEM-capacity limited (the whole (chunk, n, n) block must
+be resident, which caps the lane utilization of the batch-vectorized
+steps).  Measured at the production fit shape (240 lanes, n=210, f32,
+same-session A/B, round 4): 117.5 us/matrix vs 46.8 for stock XLA and
+36.9 for the production recursive blocked dispatch
+(``ops/blocked.py`` at leaf=32) -- ~3x off, consistent across rounds
+2-4.  The production path stays on the blocked/XLA factorizations; this
+file is kept as the starting point for parts with larger VMEM.
 """
 
 import functools

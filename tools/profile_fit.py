@@ -144,7 +144,7 @@ def main():
     # pallas batched cholesky for comparison
     if os.environ.get("PROF_PALLAS", "1") == "1":
         try:
-            from mogp_tpu.ops.pallas_cholesky import cholesky_batched
+            from pallas_cholesky_experiment import cholesky_batched
 
             def pchol(Ks, salt=0.0):
                 L = cholesky_batched(Ks + salt * 1e-20)
