@@ -381,7 +381,12 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False,
             )
             if keep is not None:
                 # top `keep` restarts per output advance; non-finite
-                # restarts sort last
+                # restarts sort last.  (A descent-aware score crediting
+                # still-descending lanes their predicted remaining
+                # decrease 0.5*lambda*|g|^2 was measured and REJECTED:
+                # it overpredicts for lanes headed to poor optima and
+                # widened the quality gap 4-8x at every lambda tried --
+                # see docs/tpu_performance.md.)
                 order = np.argsort(
                     np.where(np.isfinite(fun), fun, np.inf), axis=1
                 )[:, :keep]

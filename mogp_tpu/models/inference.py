@@ -245,8 +245,57 @@ def _nuts_sample_seg(data, carry, kernel, nugget_type, n_seg, max_depth):
     return jax.vmap(one)(data, carry)
 
 
+def _ckpt_save(path, tag, phase, idx, carry, samples_acc, infos_acc):
+    """Atomically persist a mid-run chain state (``.npz``)."""
+    import os
+
+    payload = {
+        "tag": np.asarray(tag),
+        "phase": np.asarray(phase),
+        "idx": np.asarray(idx),
+    }
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(jax.device_get(carry))):
+        payload["leaf_{}".format(i)] = np.asarray(leaf)
+    if samples_acc is not None:
+        payload["samples"] = samples_acc
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(infos_acc)):
+            payload["info_{}".format(i)] = np.asarray(leaf)
+    tmp = "{}.tmp.npz".format(path)
+    np.savez(tmp, **payload)
+    os.replace(tmp, str(path))
+
+
+def _ckpt_load(path, tag):
+    """Load a chain checkpoint, or None when absent / for a different run."""
+    import os
+    import warnings
+
+    if not os.path.exists(str(path)):
+        return None
+    f = np.load(str(path), allow_pickle=False)
+    if str(f["tag"]) != tag:
+        warnings.warn(
+            "NUTS checkpoint at {} belongs to a different run "
+            "(configuration/inputs changed); starting fresh".format(path)
+        )
+        return None
+    return f
+
+
+def _run_tag(q0, n_warmup, n_samples, max_depth, target_accept):
+    import hashlib
+
+    h = hashlib.sha1(np.ascontiguousarray(np.asarray(q0, np.float64)))
+    h.update(
+        repr((int(n_warmup), int(n_samples), int(max_depth),
+              float(target_accept))).encode()
+    )
+    return h.hexdigest()
+
+
 def _run_nuts_chains(data, q0, chain_keys, kernel, nugget_type, n_warmup,
-                     n_samples, max_depth, target_accept, segment=None):
+                     n_samples, max_depth, target_accept, segment=None,
+                     checkpoint_path=None):
     """Run (outputs x chains) NUTS chains over a stacked ``GPData``,
     segmenting long runs into bounded dispatches (``_NUTS_SEG_BUDGET``).
 
@@ -254,21 +303,72 @@ def _run_nuts_chains(data, q0, chain_keys, kernel, nugget_type, n_warmup,
     (hashable) kernel/nugget statics, so repeated calls and successive
     segments reuse ONE compiled program per shape.
 
+    With ``checkpoint_path``, the full chain state (warmup adaptation,
+    key stream, accumulated samples) is persisted after every segment
+    and a preempted run resumes from the last completed segment --
+    first-class preemptible-slice support (SURVEY §5); the reference has
+    no inference to checkpoint.  The checkpoint is tagged with the run's
+    initial state so a changed configuration starts fresh, and removed
+    on completion.
+
     :param q0: ``(G, C, P)`` initial positions.
     :returns: ``(samples (G, C, n_samples, P), NUTSInfo stacked)``.
     """
+    import os
+
     G, C, P = q0.shape
     lanes = G * C
     seg_w = segment or _auto_segment(lanes, n_warmup)
     seg_s = segment or _auto_segment(lanes, n_samples)
+    if checkpoint_path is not None:
+        # checkpointing needs segment boundaries to persist at
+        seg_w = seg_w or max(1, n_warmup // 4)
+        seg_s = seg_s or max(1, n_samples // 4)
     if seg_w is None and seg_s is None:
         return _nuts_single_program(
             data, q0, chain_keys, kernel, nugget_type, n_warmup, n_samples,
             max_depth, target_accept,
         )
 
-    carry = _nuts_init(data, q0, chain_keys, kernel, nugget_type)
+    tag = (
+        _run_tag(q0, n_warmup, n_samples, max_depth, target_accept)
+        if checkpoint_path is not None else None
+    )
+    ckpt = _ckpt_load(checkpoint_path, tag) if checkpoint_path else None
+
     i0 = 0
+    sample_parts, info_parts = [], []
+    done = 0
+    scarry = None
+    carry = None
+
+    if ckpt is not None:
+        phase = int(ckpt["phase"])
+        idx = int(ckpt["idx"])
+        if phase == 0:
+            template = _nuts_init(data, q0, chain_keys, kernel, nugget_type)
+            carry = _ckpt_unflatten(template, ckpt)
+            i0 = idx
+        else:
+            template = jax.vmap(jax.vmap(nuts_warmup_finish))(
+                _nuts_init(data, q0, chain_keys, kernel, nugget_type)
+            )
+            scarry = _ckpt_unflatten(template, ckpt)
+            i0 = n_warmup
+            done = idx
+            if "samples" in ckpt:
+                sample_parts = [np.asarray(ckpt["samples"])]
+                info_leaves = []
+                i = 0
+                while "info_{}".format(i) in ckpt:
+                    info_leaves.append(np.asarray(ckpt["info_{}".format(i)]))
+                    i += 1
+                from ..ops.hmc import NUTSInfo
+
+                info_parts = [NUTSInfo(*info_leaves)]
+    if carry is None and scarry is None:
+        carry = _nuts_init(data, q0, chain_keys, kernel, nugget_type)
+
     seg_w = seg_w or n_warmup
     while i0 < n_warmup:
         n_seg = min(seg_w, n_warmup - i0)
@@ -277,11 +377,12 @@ def _run_nuts_chains(data, q0, chain_keys, kernel, nugget_type, n_warmup,
             n_seg, n_warmup, max_depth, target_accept,
         )
         i0 += n_seg
-    scarry = jax.vmap(jax.vmap(nuts_warmup_finish))(carry)
+        if checkpoint_path is not None:
+            _ckpt_save(checkpoint_path, tag, 0, i0, carry, None, None)
+    if scarry is None:
+        scarry = jax.vmap(jax.vmap(nuts_warmup_finish))(carry)
 
     seg_s = seg_s or n_samples
-    sample_parts, info_parts = [], []
-    done = 0
     while done < n_samples:
         n_seg = min(seg_s, n_samples - done)
         scarry, s, info = _nuts_sample_seg(
@@ -292,11 +393,35 @@ def _run_nuts_chains(data, q0, chain_keys, kernel, nugget_type, n_warmup,
         sample_parts.append(np.asarray(s))
         info_parts.append(jax.device_get(info))
         done += n_seg
+        if checkpoint_path is not None:
+            samples_acc = np.concatenate(sample_parts, axis=2)
+            infos_acc = jax.tree_util.tree_map(
+                lambda *xs: np.concatenate(xs, axis=2), *info_parts
+            )
+            _ckpt_save(checkpoint_path, tag, 1, done, scarry, samples_acc,
+                       infos_acc)
     samples = jnp.asarray(np.concatenate(sample_parts, axis=2))
     infos = jax.tree_util.tree_map(
         lambda *xs: np.concatenate(xs, axis=2), *info_parts
     )
+    if checkpoint_path is not None and os.path.exists(str(checkpoint_path)):
+        os.remove(str(checkpoint_path))
     return samples, infos
+
+
+def _ckpt_unflatten(template, ckpt):
+    """Rebuild a carry pytree from checkpoint leaves, preserving the
+    template's leaf dtypes (incl. PRNG key uint32 and counter ints)."""
+    leaves = jax.tree_util.tree_leaves(template)
+    loaded = [
+        jnp.asarray(ckpt["leaf_{}".format(i)]).astype(
+            np.asarray(leaf).dtype
+        )
+        for i, leaf in enumerate(leaves)
+    ]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), loaded
+    )
 
 
 def sample_GP_MCMC(
@@ -310,6 +435,7 @@ def sample_GP_MCMC(
     theta0=None,
     mesh=None,
     segment=None,
+    checkpoint_path=None,
 ):
     """Sample the GP hyperparameter posterior with NUTS.
 
@@ -327,7 +453,10 @@ def sample_GP_MCMC(
     Long many-chain runs automatically split into bounded-length
     dispatches (``segment`` overrides the per-phase segment length; see
     ``_NUTS_SEG_BUDGET``) -- one multi-minute XLA execution would trip
-    the TPU runtime watchdog.
+    the TPU runtime watchdog.  With ``checkpoint_path``, the chain state
+    is persisted after every segment and a preempted run resumes from
+    the last completed segment (preemptible-slice support; the file is
+    removed on completion).
 
     :returns: ``MCMCResult`` with raw-space samples and diagnostics.
     """
@@ -363,6 +492,7 @@ def sample_GP_MCMC(
     samples, infos = _run_nuts_chains(
         data1, q0[None], chain_keys[None], kernel, nugget_type, n_warmup,
         n_samples, max_depth, target_accept, segment=segment,
+        checkpoint_path=checkpoint_path,
     )
     samples = samples[0]
     infos = jax.tree_util.tree_map(lambda x: x[0], infos)
@@ -389,6 +519,7 @@ def sample_MOGP_MCMC(
     target_accept=0.8,
     mesh=None,
     segment=None,
+    checkpoint_path=None,
 ):
     """NUTS posteriors for every output of a MultiOutputGP at once.
 
@@ -458,9 +589,14 @@ def sample_MOGP_MCMC(
             # groups not divisible by the mesh fall back to the default
             # (replicated) placement; correctness is unaffected
 
+        ckpt_g = (
+            None if checkpoint_path is None
+            else "{}.group{}".format(checkpoint_path, g_idx)
+        )
         samples, infos = _run_nuts_chains(
             data_stack, q0, chain_keys, kernel, nugget_type, n_warmup,
             n_samples, max_depth, target_accept, segment=segment,
+            checkpoint_path=ckpt_g,
         )
         # samples: (G, n_chains, n_samples, P)
 

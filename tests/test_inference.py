@@ -245,3 +245,62 @@ def test_auto_segment_policy():
     seg = _auto_segment(64, 400)
     assert seg is not None and seg * 64 <= _NUTS_SEG_BUDGET + 64 * seg % 64
     assert _auto_segment(64, 400) * (-(-400 // _auto_segment(64, 400))) >= 400
+
+
+def test_nuts_checkpoint_resume(tmp_path, monkeypatch):
+    """A preempted segmented run resumes from its checkpoint and yields
+    EXACTLY the uninterrupted chain (state + key stream are persisted)."""
+    import mogp_tpu.models.inference as inf
+
+    rng = np.random.RandomState(12)
+    x = rng.uniform(0, 1, size=(15, 2))
+    y = np.sin(3 * x[:, 0]) + x[:, 1]
+    np.random.seed(0)
+    gp = fit_GP_MAP(GaussianProcess(x, y, nugget="fit"), n_tries=2,
+                    maxiter=40)
+    kw = dict(n_samples=32, n_warmup=16, n_chains=2, seed=5,
+              theta0=gp.theta.get_data(), segment=8)
+    ref = sample_GP_MCMC(gp, **kw)
+
+    ckpt = tmp_path / "chain.npz"
+    orig = inf._nuts_sample_seg
+    calls = {"n": 0}
+
+    def preempt(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("preempted")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(inf, "_nuts_sample_seg", preempt)
+    with pytest.raises(RuntimeError, match="preempted"):
+        sample_GP_MCMC(gp, checkpoint_path=str(ckpt), **kw)
+    monkeypatch.setattr(inf, "_nuts_sample_seg", orig)
+    assert ckpt.exists()  # one sampling segment persisted
+
+    res = sample_GP_MCMC(gp, checkpoint_path=str(ckpt), **kw)
+    assert not ckpt.exists()  # removed on completion
+    assert_allclose(res.samples, ref.samples, rtol=1e-6, atol=1e-8)
+
+
+def test_nuts_checkpoint_tag_mismatch(tmp_path):
+    """A checkpoint from a different configuration is ignored (fresh
+    start with a warning), not silently resumed."""
+    rng = np.random.RandomState(13)
+    x = rng.uniform(0, 1, size=(12, 2))
+    y = np.sin(2 * x[:, 0])
+    np.random.seed(0)
+    gp = fit_GP_MAP(GaussianProcess(x, y, nugget="fit"), n_tries=2,
+                    maxiter=30)
+    ckpt = tmp_path / "c.npz"
+    kw = dict(n_chains=2, seed=1, theta0=gp.theta.get_data(), segment=4)
+    sample_GP_MCMC(gp, n_samples=8, n_warmup=4,
+                   checkpoint_path=str(ckpt), **kw)
+    assert not ckpt.exists()
+    # fabricate a stale checkpoint with a wrong tag
+    np.savez(str(ckpt), tag=np.asarray("bogus"), phase=np.asarray(1),
+             idx=np.asarray(4))
+    with pytest.warns(UserWarning, match="different run"):
+        res = sample_GP_MCMC(gp, n_samples=8, n_warmup=4,
+                             checkpoint_path=str(ckpt), **kw)
+    assert np.all(np.isfinite(res.samples))
