@@ -29,10 +29,13 @@ import numpy as np
 os.environ.setdefault("MOGP_TPU_COMPILE_CACHE", "/root/repo/.jax_cache")
 # per-program lane count: measured per-lane eval cost on a v5e core is
 # ~2x better at 240 lanes than at 60 (287 vs 570 us/lane for a batched
-# value-and-grad); the 240-lane program compiles in ~1-2 min via the
+# value-and-grad), and 480 lanes measured a further +4.5% on the
+# 64-output fit with visibly steadier rep-to-rep timings (2 chunks
+# instead of 4).  The 480-lane program compiles in ~4 min via the
 # remote-compile service, paid once in the (untimed) warmup and then
-# served by the persistent compile cache
-os.environ.setdefault("MOGP_TPU_MAX_FIT_LANES", "240")
+# served by the persistent compile cache.  (Programs near ~1000 lanes
+# have faulted the device; 480 ran stable across repeated sessions.)
+os.environ.setdefault("MOGP_TPU_MAX_FIT_LANES", "480")
 
 N_POINTS = 210
 N_DIM = 14
