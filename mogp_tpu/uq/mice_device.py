@@ -223,6 +223,13 @@ class DeviceMICEDesign(MICEDesign):
                  kernel="SquaredExponential"):
         super().__init__(base_design, f, n_samples, n_init, n_cand,
                          nugget, nugget_s)
+        if nugget == "pivot":
+            raise ValueError(
+                "DeviceMICEDesign does not support nugget='pivot' (the "
+                "masked fixed-shape covariance requires a jitter-masked "
+                "factorization; pivoted Cholesky has no masked form) -- "
+                "use MICEDesign for pivot-nugget designs"
+            )
         self._kernel = get_kernel(kernel)
         if n_max is None:
             if n_samples is None:

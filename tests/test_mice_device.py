@@ -195,3 +195,9 @@ def test_device_mice_requires_n_max():
         DeviceMICEDesign(ed, n_samples=None, n_init=4)
     md = DeviceMICEDesign(ed, n_samples=None, n_init=4, n_max=9)
     assert md.n_max == 9
+
+
+def test_device_mice_rejects_pivot_nugget():
+    ed = LatinHypercubeDesign([(0.0, 1.0)])
+    with pytest.raises(ValueError, match="pivot"):
+        DeviceMICEDesign(ed, n_samples=2, n_init=4, nugget="pivot")
