@@ -215,11 +215,12 @@ class HistoryMatching:
         rank selection over the union of group top-k's equals the
         reference's full ``np.partition`` because the global
         (rank+1)-th largest is always within some group's top-(rank+1).
+        With a ``mesh``, the query axis is additionally sharded over
+        devices (``shard_map``: each device tiles its own coord shard
+        against replicated fit artifacts -- no collectives).
         """
         gp = self.gp
         if not isinstance(gp, MultiOutputGPBase):
-            return None
-        if self.mesh is not None:
             return None
         if not (self.check_coords(self.coords) and self.check_gp(gp)):
             return None
@@ -254,25 +255,81 @@ class HistoryMatching:
             dtype = em0._data.inputs.dtype
             arts = _stack_pytrees([em._artifacts for em in ems])
             data = _stack_pytrees([em._data for em in ems])
-            dmtest = em0.get_design_matrix(coords)
-            tile = _predict_tile_size(
-                coords.shape[0], None, n_train=em0.n, n_lanes=len(ems)
-            ) or min(coords.shape[0], 32768)
-            top = _implausibility_topk_tiled(
-                arts, data,
-                jnp.asarray(coords, dtype=dtype),
-                jnp.asarray(dmtest, dtype=dtype),
-                jnp.asarray(self.obs[0][rel], dtype=dtype),
-                jnp.asarray(self.obs[1][rel], dtype=dtype),
-                jnp.asarray(disc_full[rel], dtype=dtype),
-                em0.kernel, em0.nugget_type,
-                min(k, len(ems)), tile,
-            )
-            tops.append(np.asarray(top, dtype=np.float64))
+            k_g = min(k, len(ems))
+            if self.mesh is None:
+                dmtest = em0.get_design_matrix(coords)
+                tile = _predict_tile_size(
+                    coords.shape[0], None, n_train=em0.n, n_lanes=len(ems)
+                ) or min(coords.shape[0], 32768)
+                top = _implausibility_topk_tiled(
+                    arts, data,
+                    jnp.asarray(coords, dtype=dtype),
+                    jnp.asarray(dmtest, dtype=dtype),
+                    jnp.asarray(self.obs[0][rel], dtype=dtype),
+                    jnp.asarray(self.obs[1][rel], dtype=dtype),
+                    jnp.asarray(disc_full[rel], dtype=dtype),
+                    em0.kernel, em0.nugget_type,
+                    k_g, tile,
+                )
+            else:
+                top = self._sharded_group_topk(
+                    ems, arts, data, coords, rel, disc_full, k_g, dtype
+                )
+            tops.append(np.asarray(top, dtype=np.float64)[:, : coords.shape[0]])
         allk = np.concatenate(tops, axis=0)
         return np.partition(allk, allk.shape[0] - rank - 1, axis=0)[
             allk.shape[0] - rank - 1
         ]
+
+    def _sharded_group_topk(self, ems, arts, data, coords, rel, disc_full,
+                            k_g, dtype):
+        """Mesh-sharded fused sweep for one group: the query axis is
+        split over devices with ``shard_map``; each device runs the
+        tiled top-k kernel on its shard against replicated artifacts."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..models.gp import _predict_tile_size
+
+        mesh = self.mesh
+        ax = mesh.axis_names[0]
+        n_dev = mesh.shape[ax]
+        em0 = ems[0]
+        m = coords.shape[0]
+        per_dev = -(-m // n_dev)
+        tile = _predict_tile_size(
+            per_dev, None, n_train=em0.n, n_lanes=len(ems)
+        ) or min(per_dev, 32768)
+        padded = n_dev * (-(-per_dev // tile)) * tile
+        pad = padded - m
+        coords_p = np.concatenate(
+            [coords, np.repeat(coords[-1:], pad, axis=0)], axis=0
+        ) if pad else coords
+        dm_p = em0.get_design_matrix(coords_p)
+
+        kernel, nugget_type = em0.kernel, em0.nugget_type
+
+        def body(a, d, t, dm, om, ov, dc):
+            return _implausibility_topk_tiled(
+                a, d, t, dm, om, ov, dc, kernel, nugget_type, k_g, tile,
+            )
+
+        rep = jax.tree_util.tree_map(lambda _: P(), arts)
+        rep_d = jax.tree_util.tree_map(lambda _: P(), data)
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(rep, rep_d, P(ax, None), P(ax, None), P(), P(), P()),
+            out_specs=P(None, ax),
+            check_vma=False,
+        )
+        return fn(
+            arts, data,
+            jnp.asarray(coords_p, dtype=dtype),
+            jnp.asarray(dm_p, dtype=dtype),
+            jnp.asarray(self.obs[0][rel], dtype=dtype),
+            jnp.asarray(self.obs[1][rel], dtype=dtype),
+            jnp.asarray(disc_full[rel], dtype=dtype),
+        )
 
     def get_NROY(self, discrepancy=0.0, rank=1):
         """Indices not yet ruled out (``HistoryMatching.py:291-316``)."""

@@ -326,3 +326,35 @@ def test_device_implausibility_sweep_matches_host():
             np.testing.assert_allclose(I_dev, I_host, rtol=1e-8, atol=1e-10)
     finally:
         hm_mod._DEVICE_SWEEP_MIN_COORDS = old_min
+
+
+def test_device_implausibility_sweep_sharded_matches_host():
+    """The shard_map-fused sweep (mesh path) equals the host reduction."""
+    import jax
+    import mogp_tpu.uq.history_matching as hm_mod
+    from mogp_tpu import HistoryMatching, MultiOutputGP, fit_GP_MAP
+    from mogp_tpu.parallel import auto_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    rng = np.random.RandomState(23)
+    x = rng.uniform(size=(16, 2))
+    y = np.stack([np.sin(3 * x[:, 0]), np.cos(2 * x[:, 1]), x[:, 0] ** 2])
+    np.random.seed(3)
+    mgp = fit_GP_MAP(MultiOutputGP(x, y), n_tries=2, maxiter=30)
+    coords = rng.uniform(size=(403, 2))  # not divisible by 8
+    obs = [[0.4, 0.3, 0.2], [0.01, 0.02, 0.015]]
+
+    hm_host = HistoryMatching(gp=mgp, obs=obs, coords=coords)
+    I_host = hm_host.get_implausibility(rank=1)
+
+    old_min = hm_mod._DEVICE_SWEEP_MIN_COORDS
+    try:
+        hm_mod._DEVICE_SWEEP_MIN_COORDS = 1
+        hm_mesh = HistoryMatching(gp=mgp, obs=obs, coords=coords,
+                                  mesh=auto_mesh(8))
+        I_mesh = hm_mesh.get_implausibility(rank=1)
+    finally:
+        hm_mod._DEVICE_SWEEP_MIN_COORDS = old_min
+    np.testing.assert_allclose(I_mesh, I_host, rtol=1e-8, atol=1e-10)
