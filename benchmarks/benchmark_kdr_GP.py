@@ -14,10 +14,13 @@ from mogp_tpu import gKDR
 
 
 def main():
-    np.random.seed(42)
+    # mirrors the reference setup (benchmark_kdr_GP.py:46-64): a LINEAR
+    # 100-D -> 1-D mapping, 5 CV folds, and the (5, 5) scale-parameter
+    # point of the reference's grid (where its loss curve is sharpest)
+    np.random.seed(3)
     N, M = 100, 100
     X = np.random.rand(N, M)
-    Y = np.sin(2 * np.pi * X[:, 0])  # single active dimension
+    Y = X[:, 0].copy()  # single active dimension
 
     def train_model(x, y):
         gp = mogp_tpu.fit_GP_MAP(mogp_tpu.GaussianProcess(x, y), n_tries=3)
@@ -25,7 +28,8 @@ def main():
 
     rows = []
     for K in [1, 2, 4]:
-        loss = gKDR._compute_loss(X, Y, train_model, 3, K)
+        loss = gKDR._compute_loss(X, Y, train_model, 5, K,
+                                  X_scale=5.0, Y_scale=5.0)
         rows.append([K, float(loss)])
         print("K={}: loss={:.4g}".format(K, loss))
 

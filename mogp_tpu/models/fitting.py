@@ -210,17 +210,36 @@ def _fit_single_GP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", **kwargs)
     plan = _race_plan(n_tries, maxiter, race)
     if plan is None:
         plan = [(maxiter, None)]
-    cur = jnp.asarray(starts, dtype=dtype)
-    for iters, keep in plan:
-        res = _batched_fit_single(
-            cur, gp._data, gp.kernel, gp.nugget_type, iters, gtol, ftol,
-            ladder,
-        )
-        fun = np.asarray(res.fun, dtype=np.float64)
-        xs = np.asarray(res.x, dtype=np.float64)
-        if keep is not None:
-            top = np.argsort(np.where(np.isfinite(fun), fun, np.inf))[:keep]
-            cur = jnp.asarray(xs, dtype=dtype)[top]
+
+    def run_schedule(ladder_mode):
+        cur = jnp.asarray(starts, dtype=dtype)
+        for iters, keep in plan:
+            res = _batched_fit_single(
+                cur, gp._data, gp.kernel, gp.nugget_type, iters, gtol, ftol,
+                ladder_mode,
+            )
+            fun = np.asarray(res.fun, dtype=np.float64)
+            xs = np.asarray(res.x, dtype=np.float64)
+            if keep is not None:
+                top = np.argsort(
+                    np.where(np.isfinite(fun), fun, np.inf)
+                )[:keep]
+                cur = jnp.asarray(xs, dtype=dtype)[top]
+        return fun, xs
+
+    fun, xs = run_schedule(ladder)
+    if (
+        not np.isfinite(fun).any()
+        and gp.nugget_type == "adaptive"
+        and ladder is not False
+    ):
+        # ladder escalation: the reduced trajectory ladder can make EVERY
+        # start non-finite on problems that genuinely need large jitter
+        # (near-duplicate inputs in float32); the reference's adaptive
+        # loop would simply escalate (linalg/cholesky.py:269-278), so
+        # retry the whole schedule with the full reference ladder before
+        # declaring failure
+        fun, xs = run_schedule(False)
 
     finite = np.isfinite(fun)
     if not finite.any():
@@ -394,16 +413,41 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False,
                 )[:, :keep]
                 cur = np.take_along_axis(xs, order[:, :, None], axis=1)
 
+        # ladder escalation for outputs where EVERY restart was
+        # non-finite: the reduced trajectory ladder cannot rescue
+        # problems that genuinely need large jitter (near-duplicate
+        # inputs in float32); the reference's adaptive loop escalates
+        # (linalg/cholesky.py:269-278), so rerun just the failed outputs
+        # with the full reference ladder before declaring them unfit
+        failed = [r for r in range(G) if not np.isfinite(fun[r]).any()]
+        rescue = {}
+        if failed and em0.nugget_type == "adaptive" and ladder is not False:
+            fun_f, xs_f = _run_fit_chunked(
+                [ems[r] for r in failed], starts[failed], em0.kernel,
+                em0.nugget_type, maxiter, gtol, ftol, False, dtype,
+                mesh=mesh,
+            )
+            for j, r in enumerate(failed):
+                finite_f = np.isfinite(fun_f[j])
+                if finite_f.any():
+                    idx = int(np.nanargmin(
+                        np.where(finite_f, fun_f[j], np.inf)
+                    ))
+                    rescue[r] = xs_f[j, idx]
+
         best_raw = np.empty((G, starts.shape[-1]), dtype=np.float64)
         fit_rows = []
         for row, em in enumerate(ems):
             finite = np.isfinite(fun[row])
-            if not finite.any():
-                em.theta = None
-            else:
+            if finite.any():
                 idx = int(np.nanargmin(np.where(finite, fun[row], np.inf)))
                 best_raw[row] = xs[row, idx]
                 fit_rows.append(row)
+            elif row in rescue:
+                best_raw[row] = rescue[row]
+                fit_rows.append(row)
+            else:
+                em.theta = None
         # final exact-ladder refit, chunked on the same quantum as the fit
         # so every group size reuses one compiled refit program
         for r0 in range(0, len(fit_rows), chunk_q):

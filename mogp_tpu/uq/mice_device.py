@@ -302,15 +302,20 @@ class DeviceMICEDesign(MICEDesign):
         mask_j = jnp.asarray(mask, dtype=dtype)
 
         # batched-restart MAP refit; a fully-failed draw redraws starts
-        # (cheap -- no recompilation, same program)
+        # (cheap -- no recompilation, same program).  After three failed
+        # draws the retry escalates to the full reference jitter ladder
+        # (problems genuinely needing large jitter NaN at every start
+        # under the reduced trajectory ladder -- see
+        # models/fitting.py ladder escalation)
         best_raw = None
-        for _ in range(10):
+        for attempt in range(10):
             starts = jnp.asarray(
                 np.asarray(priors.sample_n(self.n_tries)), dtype=dtype
             )
+            ladder = _OPT_LADDER if attempt < 3 else False
             fun, xs = _mice_fit_step(
                 starts, data, mask_j, self._kernel, nugget_type, True,
-                self.maxiter, None, None, _OPT_LADDER,
+                self.maxiter, None, None, ladder,
             )
             fun = np.asarray(fun, dtype=np.float64)
             finite = np.isfinite(fun)

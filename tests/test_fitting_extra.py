@@ -165,3 +165,50 @@ def test_race_stages_env_fit_end_to_end(monkeypatch):
     np.random.seed(77)
     mgp = fit_GP_MAP(MultiOutputGP(X, Y2), n_tries=5, maxiter=30)
     assert mgp.get_indices_not_fit() == []
+
+
+def test_ladder_escalation_single(monkeypatch):
+    """When every restart is non-finite under the reduced trajectory
+    ladder (f32 + near-duplicate inputs in production), the fit retries
+    with the full reference ladder before declaring failure."""
+    import jax.numpy as jnp
+
+    from mogp_tpu.models import fitting as F
+
+    orig = F._batched_fit_single
+
+    def fail_reduced(starts, data, kernel, nugget_type, maxiter, gtol,
+                     ftol, ladder):
+        res = orig(starts, data, kernel, nugget_type, maxiter, gtol, ftol,
+                   ladder)
+        if ladder is not False:
+            return res._replace(fun=jnp.full_like(res.fun, jnp.nan))
+        return res
+
+    monkeypatch.setattr(F, "_batched_fit_single", fail_reduced)
+    np.random.seed(91)
+    gp = fit_GP_MAP(GaussianProcess(X, Y2[0], nugget="adaptive"), n_tries=3,
+                    maxiter=30)
+    assert gp.theta.get_data() is not None
+
+
+def test_ladder_escalation_mogp(monkeypatch):
+    import jax.numpy as jnp
+
+    from mogp_tpu.models import fitting as F
+
+    orig = F._batched_fit_multi
+
+    def fail_reduced(starts, data, kernel, nugget_type, maxiter, gtol,
+                     ftol, ladder):
+        res = orig(starts, data, kernel, nugget_type, maxiter, gtol, ftol,
+                   ladder)
+        if ladder is not False:
+            return res._replace(fun=jnp.full_like(res.fun, jnp.nan))
+        return res
+
+    monkeypatch.setattr(F, "_batched_fit_multi", fail_reduced)
+    np.random.seed(92)
+    mgp = fit_GP_MAP(MultiOutputGP(X, Y2, nugget="adaptive"), n_tries=3,
+                     maxiter=30)
+    assert mgp.get_indices_not_fit() == []
