@@ -113,8 +113,22 @@ def nuts_ess_per_sec(n_chains=4, n_samples=200, n_warmup=200):
     np.random.seed(2)
     gp = fit_GP_MAP(GaussianProcess(inputs, targets, nugget="fit"),
                     n_tries=4, maxiter=50)
-    sample_GP_MCMC(gp, n_samples=8, n_warmup=8, n_chains=n_chains,
-                   theta0=gp.theta.get_data(), seed=0)  # compile
+    # warm the EXACT programs the timed run uses: a large-chain run takes
+    # the segmented path whose programs are keyed on the segment length,
+    # so the warm run must use the same auto segment (a short 8-sample
+    # warm run would stay single-program and leave the segment programs
+    # to compile inside the timed window)
+    from mogp_tpu.models.inference import _auto_segment
+
+    seg = _auto_segment(n_chains, n_samples) or _auto_segment(
+        n_chains, n_warmup
+    )
+    if seg is None:
+        sample_GP_MCMC(gp, n_samples=8, n_warmup=8, n_chains=n_chains,
+                       theta0=gp.theta.get_data(), seed=0)
+    else:
+        sample_GP_MCMC(gp, n_samples=seg, n_warmup=seg, n_chains=n_chains,
+                       theta0=gp.theta.get_data(), seed=0, segment=seg)
     t0 = time.perf_counter()
     res = sample_GP_MCMC(gp, n_samples=n_samples, n_warmup=n_warmup,
                          n_chains=n_chains, theta0=gp.theta.get_data(), seed=1)

@@ -167,9 +167,31 @@ def _race_plan(n_tries, maxiter, race):
         stages = []
         used = 0
         for part in env.split(","):
-            iters, keep = part.split(":")
-            stages.append((int(iters), max(2, int(keep))))
-            used += int(iters)
+            part = part.strip()
+            if not part:
+                continue
+            try:
+                iters_s, keep_s = part.split(":")
+                iters, keep = int(iters_s), int(keep_s)
+            except ValueError:
+                raise ValueError(
+                    "MOGP_TPU_RACE_STAGES must be a comma list of "
+                    "'iters:keep' pairs (e.g. '16:6,16:3'); got "
+                    "{!r}".format(env)
+                )
+            if iters <= 0 or keep < 2:
+                raise ValueError(
+                    "MOGP_TPU_RACE_STAGES stage {!r}: iters must be "
+                    "positive and keep >= 2 (a single survivor leaves "
+                    "nothing to tournament)".format(part)
+                )
+            stages.append((iters, keep))
+            used += iters
+        if not stages:
+            raise ValueError(
+                "MOGP_TPU_RACE_STAGES is set but contains no stages: "
+                "{!r}".format(env)
+            )
         stages.append((max(maxiter - used, 12), None))
         return stages
     # stage length tuned on the tsunami-shape benchmark (v5e A/B tables

@@ -358,21 +358,6 @@ def gp_predict_tiled(
     :param tile: static query-tile size.
     :returns: ``(mu, var)`` with ``var`` ``None`` when ``unc`` is False.
     """
-    m = testing.shape[0]
-    n_tiles = -(-m // tile)
-    pad = n_tiles * tile - m
-    if pad:
-        # repeat the final row: padded lanes compute finite garbage that
-        # is sliced off below (edge values keep the kernel math benign)
-        testing = jnp.concatenate(
-            [testing, jnp.repeat(testing[-1:], pad, axis=0)], axis=0
-        )
-        dmtest = jnp.concatenate(
-            [dmtest, jnp.repeat(dmtest[-1:], pad, axis=0)], axis=0
-        )
-    t3 = testing.reshape(n_tiles, tile, testing.shape[1])
-    dm3 = dmtest.reshape(n_tiles, tile, dmtest.shape[1])
-
     def one(args):
         t, dm = args
         mu, var = _gp_predict_impl(
@@ -381,11 +366,38 @@ def gp_predict_tiled(
         )
         return (mu, var) if unc else (mu, jnp.zeros((0,), dtype=mu.dtype))
 
-    mu, var = jax.lax.map(one, (t3, dm3))
+    (mu, var), m = tiled_query_map(testing, dmtest, tile, one)
     mu = mu.reshape(-1)[:m]
     if not unc:
         return mu, None
     return mu, var.reshape(-1)[:m]
+
+
+def tiled_query_map(testing, dmtest, tile, body):
+    """Shared query-tiling scaffold: pad the query axis to a ``tile``
+    multiple (repeating the final row -- padded lanes compute finite
+    garbage the caller slices off), reshape to ``(n_tiles, tile, .)``,
+    and ``lax.map`` ``body`` over ``(testing_tile, dmtest_tile)`` pairs.
+
+    Used by :func:`gp_predict_tiled` and the fused history-matching
+    sweep (``uq/history_matching._implausibility_topk_tiled``) so the
+    padding/tiling semantics cannot diverge between them.
+
+    :returns: ``(mapped_outputs, m)`` with ``m`` the true query count.
+    """
+    m = testing.shape[0]
+    n_tiles = -(-m // tile)
+    pad = n_tiles * tile - m
+    if pad:
+        testing = jnp.concatenate(
+            [testing, jnp.repeat(testing[-1:], pad, axis=0)], axis=0
+        )
+        dmtest = jnp.concatenate(
+            [dmtest, jnp.repeat(dmtest[-1:], pad, axis=0)], axis=0
+        )
+    t3 = testing.reshape(n_tiles, tile, testing.shape[1])
+    dm3 = dmtest.reshape(n_tiles, tile, dmtest.shape[1])
+    return jax.lax.map(body, (t3, dm3)), m
 
 
 def _predict_tile_size(n_testing, max_batch_size, n_train=None, n_lanes=1):

@@ -207,10 +207,10 @@ def _nuts_init(data, q0, keys, kernel, nugget_type):
 
 @partial(
     jax.jit,
-    static_argnames=("kernel", "nugget_type", "n_seg", "n_warmup",
-                     "max_depth", "target_accept"),
+    static_argnames=("kernel", "nugget_type", "n_seg", "max_depth",
+                     "target_accept"),
 )
-def _nuts_warmup_seg(data, carry, i0, kernel, nugget_type, n_seg, n_warmup,
+def _nuts_warmup_seg(data, carry, i0, m1, m2, kernel, nugget_type, n_seg,
                      max_depth, target_accept):
     def one(d, c):
         def potential(raw):
@@ -219,7 +219,7 @@ def _nuts_warmup_seg(data, carry, i0, kernel, nugget_type, n_seg, n_warmup,
 
         return jax.vmap(
             lambda cc: nuts_warmup_segment(
-                potential, cc, i0, n_seg, n_warmup,
+                potential, cc, i0, n_seg, m1, m2,
                 max_depth=max_depth, target_accept=target_accept,
             )
         )(c)
@@ -309,7 +309,10 @@ def _run_nuts_chains(data, q0, chain_keys, kernel, nugget_type, n_warmup,
     first-class preemptible-slice support (SURVEY §5); the reference has
     no inference to checkpoint.  The checkpoint is tagged with the run's
     initial state so a changed configuration starts fresh, and removed
-    on completion.
+    on completion.  Each save rewrites the accumulated samples (atomic
+    single-file checkpoints are worth the O(samples-so-far) host copy at
+    these array sizes; ~tens of MB per save even at 64 chains x
+    thousands of samples).
 
     :param q0: ``(G, C, P)`` initial positions.
     :returns: ``(samples (G, C, n_samples, P), NUTSInfo stacked)``.
@@ -345,13 +348,18 @@ def _run_nuts_chains(data, q0, chain_keys, kernel, nugget_type, n_warmup,
     if ckpt is not None:
         phase = int(ckpt["phase"])
         idx = int(ckpt["idx"])
+        # abstract template (zero device work) purely for the pytree
+        # structure + leaf dtypes of the carry being restored
+        warm_template = jax.eval_shape(
+            lambda d, q, k: _nuts_init(d, q, k, kernel, nugget_type),
+            data, q0, chain_keys,
+        )
         if phase == 0:
-            template = _nuts_init(data, q0, chain_keys, kernel, nugget_type)
-            carry = _ckpt_unflatten(template, ckpt)
+            carry = _ckpt_unflatten(warm_template, ckpt)
             i0 = idx
         else:
-            template = jax.vmap(jax.vmap(nuts_warmup_finish))(
-                _nuts_init(data, q0, chain_keys, kernel, nugget_type)
+            template = jax.eval_shape(
+                jax.vmap(jax.vmap(nuts_warmup_finish)), warm_template
             )
             scarry = _ckpt_unflatten(template, ckpt)
             i0 = n_warmup
@@ -370,11 +378,13 @@ def _run_nuts_chains(data, q0, chain_keys, kernel, nugget_type, n_warmup,
         carry = _nuts_init(data, q0, chain_keys, kernel, nugget_type)
 
     seg_w = seg_w or n_warmup
+    m1 = jnp.asarray(int(n_warmup * 0.5), jnp.int32)
+    m2 = jnp.asarray(int(n_warmup * 0.9), jnp.int32)
     while i0 < n_warmup:
         n_seg = min(seg_w, n_warmup - i0)
         carry = _nuts_warmup_seg(
-            data, carry, jnp.asarray(i0, jnp.int32), kernel, nugget_type,
-            n_seg, n_warmup, max_depth, target_accept,
+            data, carry, jnp.asarray(i0, jnp.int32), m1, m2, kernel,
+            nugget_type, n_seg, max_depth, target_accept,
         )
         i0 += n_seg
         if checkpoint_path is not None:
@@ -414,9 +424,7 @@ def _ckpt_unflatten(template, ckpt):
     template's leaf dtypes (incl. PRNG key uint32 and counter ints)."""
     leaves = jax.tree_util.tree_leaves(template)
     loaded = [
-        jnp.asarray(ckpt["leaf_{}".format(i)]).astype(
-            np.asarray(leaf).dtype
-        )
+        jnp.asarray(ckpt["leaf_{}".format(i)]).astype(leaf.dtype)
         for i, leaf in enumerate(leaves)
     ]
     return jax.tree_util.tree_unflatten(

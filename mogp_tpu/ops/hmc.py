@@ -541,20 +541,19 @@ def nuts_warmup_init(potential_fn, q0, key, init_step_size=0.1):
 
 @partial(
     jax.jit,
-    static_argnames=("potential_fn", "n_seg", "n_warmup", "max_depth",
-                     "target_accept"),
+    static_argnames=("potential_fn", "n_seg", "max_depth", "target_accept"),
 )
-def nuts_warmup_segment(potential_fn, carry, i0, n_seg, n_warmup,
+def nuts_warmup_segment(potential_fn, carry, i0, n_seg, m1, m2,
                         max_depth=8, target_accept=0.8):
     """Advance warmup by ``n_seg`` iterations starting at global index
-    ``i0`` (traced).  The Stan-style mass-matrix refresh checkpoints at
-    50%/90% of ``n_warmup`` fire on the global index, so any segmentation
-    composes to the exact single-program warmup."""
+    ``i0`` (traced).  The Stan-style mass-matrix refresh checkpoints
+    ``m1``/``m2`` (50%/90% of the TOTAL warmup length; traced scalars so
+    the compiled program is independent of the total) fire on the global
+    index, so any segmentation composes to the exact single-program
+    warmup."""
     kernel = nuts_kernel(potential_fn, max_depth=max_depth)
     P = carry.q.shape[0]
     dtype = carry.q.dtype
-    m1 = int(n_warmup * 0.5)
-    m2 = int(n_warmup * 0.9)
 
     def warmup_step(c, i):
         key, sub = jax.random.split(c.key)

@@ -52,20 +52,7 @@ def _implausibility_topk_tiled(arts, data, testing, dmtest, obs_mean,
 
     :returns: ``(k, n_query)`` top-k per point (descending).
     """
-    from ..models.gp import _gp_predict_impl
-
-    m = testing.shape[0]
-    n_tiles = -(-m // tile)
-    pad = n_tiles * tile - m
-    if pad:
-        testing = jnp.concatenate(
-            [testing, jnp.repeat(testing[-1:], pad, axis=0)], axis=0
-        )
-        dmtest = jnp.concatenate(
-            [dmtest, jnp.repeat(dmtest[-1:], pad, axis=0)], axis=0
-        )
-    t3 = testing.reshape(n_tiles, tile, testing.shape[1])
-    dm3 = dmtest.reshape(n_tiles, tile, dmtest.shape[1])
+    from ..models.gp import _gp_predict_impl, tiled_query_map
 
     def one_tile(args):
         t, dm = args
@@ -80,7 +67,8 @@ def _implausibility_topk_tiled(arts, data, testing, dmtest, obs_mean,
         top, _ = jax.lax.top_k(I.T, k)     # (tile, k) descending
         return top.T                       # (k, tile)
 
-    tops = jax.lax.map(one_tile, (t3, dm3))      # (n_tiles, k, tile)
+    tops, m = tiled_query_map(testing, dmtest, tile, one_tile)
+    # (n_tiles, k, tile) -> (k, n_query)
     return jnp.moveaxis(tops, 1, 0).reshape(k, -1)[:, :m]
 
 

@@ -127,11 +127,16 @@ def _mice_fit_step(starts, data, mask, kernel, nugget_type, weak_mean,
 
 
 @partial(jax.jit, static_argnames=("kernel", "nugget_type", "weak_mean"))
-def _mice_score_step(raw, data, mask, cand_blocks, fast_nugget, kernel,
-                     nugget_type, weak_mean):
+def _mice_score_step(raw, data, mask, cand_blocks, cand_mask, fast_nugget,
+                     kernel, nugget_type, weak_mean):
     """MICE criterion for every candidate, one ``lax.map`` over blocks.
 
     :param cand_blocks: ``(n_blocks, B, D)`` padded candidate blocks.
+    :param cand_mask: ``(n_blocks, B)`` 0/1 -- padded candidate lanes
+        enter the block's candidate covariance as unit pivots (the same
+        masking lemma as the training buffer), so duplicate-padding the
+        final partial block does NOT contaminate the block-local LOO
+        variances of its real candidates.
     :param fast_nugget: smoothing nugget of the candidate GP
                         (``nugget_s * base_nugget`` floored; traced).
     :returns: ``(scores, mu)`` flattened over blocks -- the criterion
@@ -165,7 +170,9 @@ def _mice_score_step(raw, data, mask, cand_blocks, fast_nugget, kernel,
     B = cand_blocks.shape[1]
     eye_b = jnp.eye(B, dtype=dtype)
 
-    def block(cand):
+    def block(args):
+        cand, cmask = args
+        cmask = cmask.astype(dtype)
         # base-GP prediction at the block's candidates
         Kstar = (
             sigma2
@@ -178,15 +185,20 @@ def _mice_score_step(raw, data, mask, cand_blocks, fast_nugget, kernel,
             sigma2 + nugget - jnp.sum(half**2, axis=0), 0.0
         )
         # candidate-GP LOO variance (Woodbury, one stacked half-solve;
-        # SequentialDesign.py:705-748 vectorized).  The candidate
-        # covariance factorizes through the adaptive jitter ladder on
-        # top of the smoothing nugget: dense candidate clouds (1e5
-        # points in a low-D box) are numerically singular in f32 at any
-        # fixed nugget, and the reference's answer -- catch LinAlgError
-        # and refit everything (SequentialDesign.py:960) -- would throw
-        # away a good base fit
-        C = sigma2 * kernel.kernel_f(cand, cand, corr_raw)
-        Lq, _ = jit_cholesky(C + fast_nugget * eye_b)
+        # SequentialDesign.py:705-748 vectorized).  Padded candidate
+        # lanes are masked to unit pivots so they contribute nothing to
+        # the real lanes' LOO.  The candidate covariance factorizes
+        # through the adaptive jitter ladder on top of the smoothing
+        # nugget: dense candidate clouds (1e5 points in a low-D box) are
+        # numerically singular in f32 at any fixed nugget, and the
+        # reference's answer -- catch LinAlgError and refit everything
+        # (SequentialDesign.py:960) -- would throw away a good base fit
+        C = (cmask[:, None] * cmask[None, :]) * (
+            sigma2 * kernel.kernel_f(cand, cand, corr_raw)
+        ) + jnp.diag(1.0 - cmask)
+        Lq, _ = jit_cholesky(
+            C + fast_nugget * jnp.diag(cmask), jitter_mask=cmask
+        )
         WV = Lq.solve_L(jnp.concatenate([C, eye_b], axis=1))
         unc2 = _loo_variances_all(
             WV[:, :B], WV[:, B:], sigma2 + fast_nugget, sigma2
@@ -194,7 +206,7 @@ def _mice_score_step(raw, data, mask, cand_blocks, fast_nugget, kernel,
         scores = unc1 / jnp.maximum(unc2, jnp.finfo(dtype).tiny)
         return scores, mu
 
-    scores, mu = lax.map(block, cand_blocks)
+    scores, mu = lax.map(block, (cand_blocks, cand_mask))
     return scores.reshape(-1), mu.reshape(-1)
 
 
@@ -291,9 +303,12 @@ class DeviceMICEDesign(MICEDesign):
 
         nugget_type, nugget_value = self._nugget_type_and_value()
         # data-driven priors from the OBSERVED design spacing
-        # (Priors.py:85-152); shapes are n_obs-independent
+        # (Priors.py:85-152); shapes are n_obs-independent.  The
+        # correlation-slot count comes from the KERNEL (uniform forms
+        # have one shared length, not D)
         priors = GPPriors.default_priors(
-            self.inputs, D, nugget_type=nugget_type
+            self.inputs, self._kernel.get_n_params(self.inputs),
+            nugget_type=nugget_type,
         )
         data = make_gp_data(
             inputs_buf, targets_buf, np.zeros((self.n_max, 0)), priors,
@@ -330,11 +345,17 @@ class DeviceMICEDesign(MICEDesign):
             )
         self._theta = best_raw
 
-        # candidate blocks, padded to a block multiple
+        # candidate blocks, padded to a block multiple; padded lanes are
+        # masked out of the block covariance (unit pivots)
         cands = np.tile(self.candidates[:1], (self._n_cand_pad, 1))
         cands[: self.n_cand] = self.candidates
         cand_blocks = jnp.asarray(
             cands.reshape(-1, self.cand_block, D), dtype=dtype
+        )
+        cmask = np.zeros(self._n_cand_pad)
+        cmask[: self.n_cand] = 1.0
+        cand_mask = jnp.asarray(
+            cmask.reshape(-1, self.cand_block), dtype=dtype
         )
 
         # smoothing nugget for the candidate GP, floored as in
@@ -355,7 +376,7 @@ class DeviceMICEDesign(MICEDesign):
         fast_nugget = max(base_nugget * self.nugget_s, 1e3 * eps * sigma2)
 
         scores, mu = _mice_score_step(
-            raw_j, data, mask_j, cand_blocks,
+            raw_j, data, mask_j, cand_blocks, cand_mask,
             jnp.asarray(fast_nugget, dtype=dtype), self._kernel,
             nugget_type, True,
         )

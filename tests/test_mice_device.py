@@ -117,10 +117,64 @@ def test_score_step_matches_micefastgp_criterion():
     mask = jnp.asarray((np.arange(n_max) < n_obs).astype(np.float64))
     scores_dev, mu_dev = _mice_score_step(
         jnp.asarray(raw), data, mask, jnp.asarray(cands[None]),
-        jnp.asarray(fast_nugget), KERNEL, nugget_type, True,
+        jnp.ones((1, n_cand)), jnp.asarray(fast_nugget), KERNEL,
+        nugget_type, True,
     )
     assert_allclose(np.asarray(scores_dev), scores_ref, rtol=1e-7)
     assert_allclose(np.asarray(mu_dev), mu_ref, rtol=1e-8, atol=1e-10)
+
+
+def test_score_step_partial_block_not_contaminated():
+    """A padded final block must score its REAL candidates exactly as a
+    dense candidate GP on those real candidates alone (padded lanes are
+    masked to unit pivots, so duplicate padding cannot deflate the
+    block-local LOO variances)."""
+    n_max, n_obs, D = 14, 10, 2
+    x, y = _problem(n_max, D, seed=6)
+    rng = np.random.RandomState(11)
+    n_cand, B = 12, 8  # -> blocks of 8 real and 4 real + 4 padded
+    cands = rng.uniform(0, 1, size=(n_cand, D))
+    priors = GPPriors.default_priors(x[:n_obs], D, nugget_type="adaptive")
+    raw = np.array([0.3, 0.0, 0.2])
+    fast_nugget = 1e-4
+
+    data = make_gp_data(x, y, np.zeros((n_max, 0)), priors)
+    mask = jnp.asarray((np.arange(n_max) < n_obs).astype(np.float64))
+    pad = np.tile(cands[:1], (2 * B - n_cand, 1))
+    blocks = jnp.asarray(
+        np.concatenate([cands, pad], axis=0).reshape(2, B, D)
+    )
+    cmask = np.zeros(2 * B)
+    cmask[:n_cand] = 1.0
+    scores_dev, _ = _mice_score_step(
+        jnp.asarray(raw), data, mask, blocks,
+        jnp.asarray(cmask.reshape(2, B)), jnp.asarray(fast_nugget),
+        KERNEL, "adaptive", True,
+    )
+    scores_dev = np.asarray(scores_dev)[:n_cand]
+
+    # oracle for the partial block: dense candidate GP on its 4 real
+    # candidates alone
+    gp = GaussianProcess(x[:n_obs], y[:n_obs], priors=priors,
+                         nugget="adaptive")
+    gp.fit(raw)
+    real_tail = cands[B:]
+    unc1 = gp.predict(real_tail, unc=True)[1]
+    gp_fast = MICEFastGP(real_tail, np.ones(len(real_tail)),
+                         nugget=fast_nugget)
+    gp_fast.fit(raw)
+    scores_ref_tail = unc1 / gp_fast.fast_predict_all()
+    assert_allclose(scores_dev[B:], scores_ref_tail, rtol=1e-7)
+
+
+def test_device_mice_uniform_kernel():
+    """Uniform-form kernels have ONE correlation slot; the per-step
+    priors must size to the kernel, not the input dimension."""
+    md = _run_design(DeviceMICEDesign, n_tries=4, maxiter=50,
+                     kernel="UniformSqExp")
+    assert md.inputs.shape == (10, 2)
+    assert np.all(np.isfinite(md.targets))
+    assert md.get_current_theta().shape == (2,)  # 1 corr + 1 cov
 
 
 def _run_design(cls, seed=42, **kw):
