@@ -288,11 +288,10 @@ class HistoryMatching:
         tile = _predict_tile_size(
             per_dev, None, n_train=em0.n, n_lanes=len(ems)
         ) or min(per_dev, 32768)
+        from ..parallel.sharded import _pad_rows
+
         padded = n_dev * (-(-per_dev // tile)) * tile
-        pad = padded - m
-        coords_p = np.concatenate(
-            [coords, np.repeat(coords[-1:], pad, axis=0)], axis=0
-        ) if pad else coords
+        coords_p = _pad_rows(coords, padded)
         dm_p = em0.get_design_matrix(coords_p)
 
         kernel, nugget_type = em0.kernel, em0.nugget_type

@@ -317,17 +317,22 @@ class DeviceMICEDesign(MICEDesign):
         mask_j = jnp.asarray(mask, dtype=dtype)
 
         # batched-restart MAP refit; a fully-failed draw redraws starts
-        # (cheap -- no recompilation, same program).  After three failed
-        # draws the retry escalates to the full reference jitter ladder
-        # (problems genuinely needing large jitter NaN at every start
-        # under the reduced trajectory ladder -- see
-        # models/fitting.py ladder escalation)
+        # (cheap -- no recompilation, same program).  With an ADAPTIVE
+        # nugget, three failed draws escalate to the full reference
+        # jitter ladder (problems genuinely needing large jitter NaN at
+        # every start under the reduced trajectory ladder -- see
+        # models/fitting.py ladder escalation); for fit/fixed nuggets
+        # the ladder does not exist, so escalating would only force a
+        # pointless recompile of an identical program
         best_raw = None
         for attempt in range(10):
             starts = jnp.asarray(
                 np.asarray(priors.sample_n(self.n_tries)), dtype=dtype
             )
-            ladder = _OPT_LADDER if attempt < 3 else False
+            ladder = (
+                False if (attempt >= 3 and nugget_type == "adaptive")
+                else _OPT_LADDER
+            )
             fun, xs = _mice_fit_step(
                 starts, data, mask_j, self._kernel, nugget_type, True,
                 self.maxiter, None, None, ladder,
