@@ -210,6 +210,34 @@ def _mice_score_step(raw, data, mask, cand_blocks, cand_mask, fast_nugget,
     return scores.reshape(-1), mu.reshape(-1)
 
 
+def _mice_score_step_sharded(mesh, raw, data, mask, cand_blocks, cand_mask,
+                             fast_nugget, kernel, nugget_type, weak_mean):
+    """Mesh-sharded candidate scoring: the BLOCKS axis is split over
+    devices with ``shard_map`` (blocks are independent by construction),
+    so a multi-chip mesh scores 1e7+ candidates with each chip running
+    :func:`_mice_score_step` on its own block shard against replicated
+    design buffers.  Fully-masked padding blocks make the block count a
+    device multiple."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ax = mesh.axis_names[0]
+
+    def body(cb, cm):
+        return _mice_score_step(
+            raw, data, mask, cb, cm, fast_nugget, kernel, nugget_type,
+            weak_mean,
+        )
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(ax, None, None), P(ax, None)),
+        out_specs=(P(ax), P(ax)),
+        check_vma=False,
+    )
+    return fn(cand_blocks, cand_mask)
+
+
 class DeviceMICEDesign(MICEDesign):
     """MICE design whose acquisition loop runs in two fixed-shape device
     programs (see module docstring).
@@ -222,6 +250,10 @@ class DeviceMICEDesign(MICEDesign):
     * ``cand_block`` controls the candidate-GP block size for very large
       candidate sets (default: dense up to 4096 candidates, 4096-blocks
       beyond -- block-local LOO approximation).
+    * ``mesh`` shards candidate BLOCKS over a ``jax.sharding.Mesh`` for
+      the scoring step (blocks are independent; each device scores its
+      shard against replicated design buffers), scaling the candidate
+      sweep to multi-chip sizes.
     * The internal GP per-step refit uses the same batched-restart
       device L-BFGS as ``fit_GP_MAP`` (``n_tries``/``maxiter`` exposed
       here); a failed step redraws its restarts instead of re-entering a
@@ -232,7 +264,7 @@ class DeviceMICEDesign(MICEDesign):
     def __init__(self, base_design, f=None, n_samples=None, n_init=10,
                  n_cand=50, nugget="adaptive", nugget_s=1.0, n_max=None,
                  n_tries=15, maxiter=200, cand_block=None,
-                 kernel="SquaredExponential"):
+                 kernel="SquaredExponential", mesh=None):
         super().__init__(base_design, f, n_samples, n_init, n_cand,
                          nugget, nugget_s)
         if nugget == "pivot":
@@ -256,7 +288,14 @@ class DeviceMICEDesign(MICEDesign):
         if cand_block is None:
             cand_block = min(self.n_cand, 4096)
         self.cand_block = int(cand_block)
-        self._n_cand_pad = -(-self.n_cand // self.cand_block) * self.cand_block
+        self.mesh = mesh
+        # pad the BLOCK COUNT to a device multiple when scoring on a
+        # mesh (padding blocks are fully masked)
+        n_blocks = -(-self.n_cand // self.cand_block)
+        if mesh is not None:
+            n_dev = mesh.shape[mesh.axis_names[0]]
+            n_blocks = -(-n_blocks // n_dev) * n_dev
+        self._n_cand_pad = n_blocks * self.cand_block
         self._last_scores = None
         self._last_mu = None
         self._theta = None
@@ -380,11 +419,18 @@ class DeviceMICEDesign(MICEDesign):
         eps = float(np.finfo(np.dtype(dtype)).eps)
         fast_nugget = max(base_nugget * self.nugget_s, 1e3 * eps * sigma2)
 
-        scores, mu = _mice_score_step(
-            raw_j, data, mask_j, cand_blocks, cand_mask,
-            jnp.asarray(fast_nugget, dtype=dtype), self._kernel,
-            nugget_type, True,
-        )
+        if self.mesh is not None:
+            scores, mu = _mice_score_step_sharded(
+                self.mesh, raw_j, data, mask_j, cand_blocks, cand_mask,
+                jnp.asarray(fast_nugget, dtype=dtype), self._kernel,
+                nugget_type, True,
+            )
+        else:
+            scores, mu = _mice_score_step(
+                raw_j, data, mask_j, cand_blocks, cand_mask,
+                jnp.asarray(fast_nugget, dtype=dtype), self._kernel,
+                nugget_type, True,
+            )
         scores = np.asarray(scores, dtype=np.float64)[: self.n_cand]
         mu = np.asarray(mu, dtype=np.float64)[: self.n_cand]
         scores = np.where(np.isfinite(scores), scores, -np.inf)

@@ -255,3 +255,22 @@ def test_device_mice_rejects_pivot_nugget():
     ed = LatinHypercubeDesign([(0.0, 1.0)])
     with pytest.raises(ValueError, match="pivot"):
         DeviceMICEDesign(ed, n_samples=2, n_init=4, nugget="pivot")
+
+
+def test_device_mice_mesh_scoring_matches_local():
+    """Mesh-sharded candidate-block scoring selects the same design as
+    the single-device path (blocks are independent; shard_map only
+    distributes them)."""
+    import jax
+
+    from mogp_tpu.parallel import auto_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    md_local = _run_design(DeviceMICEDesign, n_tries=4, maxiter=50,
+                           cand_block=8)
+    md_mesh = _run_design(DeviceMICEDesign, n_tries=4, maxiter=50,
+                          cand_block=8, mesh=auto_mesh(8))
+    assert_allclose(md_mesh.inputs, md_local.inputs, rtol=1e-12)
+    assert_allclose(md_mesh._last_scores, md_local._last_scores, rtol=1e-9)
