@@ -91,11 +91,12 @@ def main(n_chains=8, n_samples=300, n_warmup=300):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--chains", type=int, default=8)
+    ap.add_argument("--chains", type=int, default=None,
+                    help="chain count (default: 8 single-GP, 4 with --mogp)")
     ap.add_argument("--mogp", type=int, default=0,
                     help="sample a G-output MultiOutputGP instead")
     args = ap.parse_args()
     if args.mogp:
-        main_mogp(args.mogp, n_chains=args.chains if args.chains != 8 else 4)
+        main_mogp(args.mogp, n_chains=4 if args.chains is None else args.chains)
     else:
-        main(n_chains=args.chains)
+        main(n_chains=8 if args.chains is None else args.chains)

@@ -282,7 +282,15 @@ def _ckpt_load(path, tag):
     return f
 
 
-def _run_tag(q0, n_warmup, n_samples, max_depth, target_accept):
+def _run_tag(q0, n_warmup, n_samples, max_depth, target_accept,
+             data=None, kernel=None, nugget_type=None):
+    """Checkpoint identity for a chain run.
+
+    Hashes the initial positions, sampler settings, AND the posterior
+    itself (every ``GPData`` leaf plus the kernel/nugget config): a
+    resumed run whose training data changed but whose q0 happens to be
+    identical (explicit theta0 + same seed) must NOT silently resume
+    stale chain state against a different posterior."""
     import hashlib
 
     h = hashlib.sha1(np.ascontiguousarray(np.asarray(q0, np.float64)))
@@ -290,6 +298,13 @@ def _run_tag(q0, n_warmup, n_samples, max_depth, target_accept):
         repr((int(n_warmup), int(n_samples), int(max_depth),
               float(target_accept))).encode()
     )
+    if data is not None:
+        for leaf in jax.tree_util.tree_leaves(data):
+            h.update(np.ascontiguousarray(np.asarray(leaf, np.float64)))
+    if kernel is not None:
+        h.update(repr(type(kernel).__name__).encode())
+    if nugget_type is not None:
+        h.update(repr(nugget_type).encode())
     return h.hexdigest()
 
 
@@ -334,7 +349,8 @@ def _run_nuts_chains(data, q0, chain_keys, kernel, nugget_type, n_warmup,
         )
 
     tag = (
-        _run_tag(q0, n_warmup, n_samples, max_depth, target_accept)
+        _run_tag(q0, n_warmup, n_samples, max_depth, target_accept,
+                 data=data, kernel=kernel, nugget_type=nugget_type)
         if checkpoint_path is not None else None
     )
     ckpt = _ckpt_load(checkpoint_path, tag) if checkpoint_path else None

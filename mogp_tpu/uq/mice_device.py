@@ -128,7 +128,7 @@ def _mice_fit_step(starts, data, mask, kernel, nugget_type, weak_mean,
 
 @partial(jax.jit, static_argnames=("kernel", "nugget_type", "weak_mean"))
 def _mice_score_step(raw, data, mask, cand_blocks, cand_mask, fast_nugget,
-                     kernel, nugget_type, weak_mean):
+                     nugget_s, kernel, nugget_type, weak_mean):
     """MICE criterion for every candidate, one ``lax.map`` over blocks.
 
     :param cand_blocks: ``(n_blocks, B, D)`` padded candidate blocks.
@@ -137,8 +137,15 @@ def _mice_score_step(raw, data, mask, cand_blocks, cand_mask, fast_nugget,
         masking lemma as the training buffer), so duplicate-padding the
         final partial block does NOT contaminate the block-local LOO
         variances of its real candidates.
-    :param fast_nugget: smoothing nugget of the candidate GP
+    :param fast_nugget: smoothing-nugget floor of the candidate GP
                         (``nugget_s * base_nugget`` floored; traced).
+    :param nugget_s: smoothing multiplier (traced).  The effective
+        candidate nugget is ``max(realized_nugget * nugget_s,
+        fast_nugget)``: with ``nugget="adaptive"`` the realized jitter is
+        only known after the base factorization below, and host
+        ``MICEDesign`` uses ``gp.theta.nugget * nugget_s`` -- matching
+        that here keeps the two criteria aligned when the base fit
+        selected nonzero jitter.
     :returns: ``(scores, mu)`` flattened over blocks -- the criterion
               ``unc_base / unc_cand`` and the base-GP predictive mean at
               every candidate (used for batch-mode target estimation,
@@ -162,6 +169,10 @@ def _mice_score_step(raw, data, mask, cand_blocks, cand_mask, fast_nugget,
     K = sigma2 * kernel.kernel_f(data.inputs, data.inputs, corr_raw)
     Kt = (mask[:, None] * mask[None, :]) * K + jnp.diag(1.0 - mask)
     Kinv, nugget = cholesky_factor(Kt, nugget, nugget_type, jitter_mask=mask)
+    # effective smoothing nugget: the realized (possibly adaptive) base
+    # nugget times nugget_s, floored at the host-computed fast_nugget --
+    # host MICEDesign semantics (gp.theta.nugget * nugget_s)
+    fast_nugget = jnp.maximum(nugget * nugget_s, fast_nugget)
 
     # zero-mean internal GP (the reference MICE GP default): M == 0
     resid = mask * data.targets
@@ -211,7 +222,8 @@ def _mice_score_step(raw, data, mask, cand_blocks, cand_mask, fast_nugget,
 
 
 def _mice_score_step_sharded(mesh, raw, data, mask, cand_blocks, cand_mask,
-                             fast_nugget, kernel, nugget_type, weak_mean):
+                             fast_nugget, nugget_s, kernel, nugget_type,
+                             weak_mean):
     """Mesh-sharded candidate scoring: the BLOCKS axis is split over
     devices with ``shard_map`` (blocks are independent by construction),
     so a multi-chip mesh scores 1e7+ candidates with each chip running
@@ -225,8 +237,8 @@ def _mice_score_step_sharded(mesh, raw, data, mask, cand_blocks, cand_mask,
 
     def body(cb, cm):
         return _mice_score_step(
-            raw, data, mask, cb, cm, fast_nugget, kernel, nugget_type,
-            weak_mean,
+            raw, data, mask, cb, cm, fast_nugget, nugget_s, kernel,
+            nugget_type, weak_mean,
         )
 
     fn = shard_map(
@@ -407,8 +419,10 @@ class DeviceMICEDesign(MICEDesign):
         # LinAlgError retry)
         raw_j = jnp.asarray(best_raw, dtype=dtype)
         if nugget_type == "adaptive":
-            # realized jitter is recomputed inside the score step; the
-            # floor uses the fitted signal variance
+            # realized jitter is recomputed inside the score step, where
+            # the effective smoothing nugget becomes max(realized *
+            # nugget_s, floor) -- host MICEDesign semantics; the host
+            # floor below only needs the fitted signal variance
             base_nugget = 0.0
         elif nugget_type == "fit":
             base_nugget = float(np.exp(best_raw[-1]))
@@ -419,17 +433,18 @@ class DeviceMICEDesign(MICEDesign):
         eps = float(np.finfo(np.dtype(dtype)).eps)
         fast_nugget = max(base_nugget * self.nugget_s, 1e3 * eps * sigma2)
 
+        nugget_s_j = jnp.asarray(self.nugget_s, dtype=dtype)
         if self.mesh is not None:
             scores, mu = _mice_score_step_sharded(
                 self.mesh, raw_j, data, mask_j, cand_blocks, cand_mask,
-                jnp.asarray(fast_nugget, dtype=dtype), self._kernel,
-                nugget_type, True,
+                jnp.asarray(fast_nugget, dtype=dtype), nugget_s_j,
+                self._kernel, nugget_type, True,
             )
         else:
             scores, mu = _mice_score_step(
                 raw_j, data, mask_j, cand_blocks, cand_mask,
-                jnp.asarray(fast_nugget, dtype=dtype), self._kernel,
-                nugget_type, True,
+                jnp.asarray(fast_nugget, dtype=dtype), nugget_s_j,
+                self._kernel, nugget_type, True,
             )
         scores = np.asarray(scores, dtype=np.float64)[: self.n_cand]
         mu = np.asarray(mu, dtype=np.float64)[: self.n_cand]
@@ -458,6 +473,13 @@ class DeviceMICEDesign(MICEDesign):
             "bad shape for next_point"
         )
         assert self._last_mu is not None, "no acquisition step has run"
+        # the cached mean is only valid for the point the last
+        # acquisition step selected; estimating any other point needs a
+        # fresh prediction this class does not cache
+        assert np.allclose(
+            next_point, self.candidates[self._last_index],
+            rtol=1e-6, atol=1e-8,
+        ), "next_point is not the candidate selected by get_next_point"
         return np.atleast_1d(
             self._last_mu[self._last_index] * self._t_std + self._t_mean
         )

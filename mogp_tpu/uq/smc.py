@@ -126,6 +126,7 @@ def smc_history_match(
     rank=1,
     seed=0,
     mesh=None,
+    checkpoint_path=None,
 ):
     """Sample the NROY region of a fit GP with adaptive-threshold SMC.
 
@@ -144,6 +145,14 @@ def smc_history_match(
                  ``HistoryMatching``).
     :param mesh: optional device mesh; particles are sharded on its
                  first axis.
+    :param checkpoint_path: optional ``.npz`` path; when given the anneal
+        runs stage-by-stage (one compiled stage program) and persists the
+        particle population, proposal scale, key state, and stage index
+        after every stage -- a preempted run resumes from the last
+        completed stage with an identical key stream (the NUTS segment
+        pattern, ``models/inference.py``).  The checkpoint is tagged with
+        the run configuration and the emulator data, and removed on
+        completion.
     :returns: ``SMCResult``.
     """
     from ..models.mogp import MultiOutputGPBase
@@ -192,53 +201,114 @@ def smc_history_match(
 
     scale0 = (hi - lo) * 0.2
 
-    @partial(jax.jit, static_argnames=())
-    def run(particles, key):
-        def stage(carry, _):
-            particles, scale, key = carry
-            I = I_fn(particles)
-            # adaptive threshold: quantile of current population, floored
-            tau = jnp.maximum(jnp.quantile(I, quantile), threshold)
-
-            # reweight to the constrained target and resample survivors
-            w = (I <= tau).astype(dtype) + 1e-12
-            key, k_res = jax.random.split(key)
-            idx = systematic_resample(k_res, w, n_particles)
-            particles = particles[idx]
-            I = I[idx]
-
-            # random-walk Metropolis rejuvenation within {I <= tau}
-            def mh_step(carry, _):
-                particles, I, key, n_acc = carry
-                key, k_prop, k_acc = jax.random.split(key, 3)
-                prop = particles + scale * jax.random.normal(
-                    k_prop, particles.shape, dtype=dtype
-                )
-                inside = jnp.all(
-                    jnp.logical_and(prop >= lo, prop <= hi), axis=1
-                )
-                I_prop = I_fn(prop)
-                ok = jnp.logical_and(inside, I_prop <= tau)
-                particles = jnp.where(ok[:, None], prop, particles)
-                I = jnp.where(ok, I_prop, I)
-                return (particles, I, key, n_acc + jnp.mean(ok.astype(dtype))), None
-
-            (particles, I, key, n_acc), _ = lax.scan(
-                mh_step, (particles, I, key, jnp.zeros((), dtype)), None,
-                length=n_mcmc,
-            )
-            acc_rate = n_acc / n_mcmc
-            # adapt proposal scale towards ~30% acceptance
-            scale = scale * jnp.exp(1.0 * (acc_rate - 0.3))
-            return (particles, scale, key), (tau, acc_rate)
-
-        (particles, _, key), (taus, accs) = lax.scan(
-            stage, (particles, scale0, key), None, length=n_stages
-        )
+    def stage(carry, _):
+        particles, scale, key = carry
         I = I_fn(particles)
-        return particles, I, taus, accs
+        # adaptive threshold: quantile of current population, floored
+        tau = jnp.maximum(jnp.quantile(I, quantile), threshold)
 
-    particles, I, taus, accs = run(particles, key)
+        # reweight to the constrained target and resample survivors
+        w = (I <= tau).astype(dtype) + 1e-12
+        key, k_res = jax.random.split(key)
+        idx = systematic_resample(k_res, w, n_particles)
+        particles = particles[idx]
+        I = I[idx]
+
+        # random-walk Metropolis rejuvenation within {I <= tau}
+        def mh_step(carry, _):
+            particles, I, key, n_acc = carry
+            key, k_prop, k_acc = jax.random.split(key, 3)
+            prop = particles + scale * jax.random.normal(
+                k_prop, particles.shape, dtype=dtype
+            )
+            inside = jnp.all(
+                jnp.logical_and(prop >= lo, prop <= hi), axis=1
+            )
+            I_prop = I_fn(prop)
+            ok = jnp.logical_and(inside, I_prop <= tau)
+            particles = jnp.where(ok[:, None], prop, particles)
+            I = jnp.where(ok, I_prop, I)
+            return (particles, I, key, n_acc + jnp.mean(ok.astype(dtype))), None
+
+        (particles, I, key, n_acc), _ = lax.scan(
+            mh_step, (particles, I, key, jnp.zeros((), dtype)), None,
+            length=n_mcmc,
+        )
+        acc_rate = n_acc / n_mcmc
+        # adapt proposal scale towards ~30% acceptance
+        scale = scale * jnp.exp(1.0 * (acc_rate - 0.3))
+        return (particles, scale, key), (tau, acc_rate)
+
+    if checkpoint_path is None:
+        # all stages in ONE program: the default fast path
+        @partial(jax.jit, static_argnames=())
+        def run(particles, key):
+            (particles, _, key), (taus, accs) = lax.scan(
+                stage, (particles, scale0, key), None, length=n_stages
+            )
+            I = I_fn(particles)
+            return particles, I, taus, accs
+
+        particles, I, taus, accs = run(particles, key)
+    else:
+        # segmented anneal: ONE compiled per-stage program driven by a
+        # host loop that persists (particles, scale, key, stage index)
+        # after every stage -- a preempted run resumes mid-anneal with a
+        # key-stream-identical population (the stage body is the same
+        # function the single-program scan runs, so segmented == single
+        # program bit-for-bit; test-pinned).
+        from ..utils.checkpoint import _smc_tag, load_smc, save_smc
+
+        tag = _smc_tag(gp, obs_mean, obs_var, bounds, threshold,
+                       n_particles, n_stages, n_mcmc, discrepancy,
+                       include_nugget, quantile, rank, seed)
+        stage_jit = jax.jit(lambda c: stage(c, None))
+        carry = (particles, scale0, key)
+        k0, taus_l, accs_l = 0, [], []
+        ck = load_smc(checkpoint_path, tag=tag)
+        if ck is not None:
+            k0 = int(ck["stage"])
+            taus_l = list(ck["taus"])
+            accs_l = list(ck["accs"])
+            carry = (
+                jnp.asarray(ck["particles"], dtype=dtype),
+                jnp.asarray(ck["scale"], dtype=dtype),
+                jnp.asarray(ck["key"]),
+            )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                carry = (
+                    jax.device_put(
+                        carry[0],
+                        NamedSharding(mesh, P(mesh.axis_names[0], None)),
+                    ),
+                ) + carry[1:]
+        for k in range(k0, n_stages):
+            carry, (tau, acc) = stage_jit(carry)
+            taus_l.append(float(tau))
+            accs_l.append(float(acc))
+            save_smc(
+                checkpoint_path,
+                {
+                    "particles": np.asarray(carry[0]),
+                    "scale": np.asarray(carry[1]),
+                    "key": np.asarray(carry[2]),
+                    "stage": k + 1,
+                    "taus": np.asarray(taus_l),
+                    "accs": np.asarray(accs_l),
+                },
+                tag=tag,
+            )
+        particles, _, key = carry
+        I = jax.jit(I_fn)(particles)
+        taus = np.asarray(taus_l)
+        accs = np.asarray(accs_l)
+        import os
+
+        if os.path.exists(str(checkpoint_path)):
+            os.remove(str(checkpoint_path))
+
     particles = np.asarray(particles)
     I = np.asarray(I)
     return SMCResult(

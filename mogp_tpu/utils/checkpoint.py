@@ -9,12 +9,16 @@ provides simple, dependency-free ``.npz`` checkpoints for
 * ``GaussianProcess`` / ``MultiOutputGP`` — data + configuration +
   hyperparameters; loading re-fits the cached artifacts on device.
 * ``MCMCResult`` — posterior samples and diagnostics.
-* SMC particle populations.
+* SMC particle populations — ``save_smc``/``load_smc``, written after
+  every anneal stage by ``smc_history_match(checkpoint_path=...)`` so a
+  preempted sweep resumes mid-anneal (NUTS additionally has segment-level
+  resume built into ``sample_GP_MCMC(checkpoint_path=...)``).
 
 All files are plain ``numpy.savez`` archives (portable, inspectable).
 """
 
 import json
+import os
 
 import numpy as np
 
@@ -28,6 +32,8 @@ __all__ = [
     "load_mogp",
     "save_mcmc",
     "load_mcmc",
+    "save_smc",
+    "load_smc",
 ]
 
 
@@ -118,6 +124,79 @@ def save_mcmc(result, filename):
         rhat=result.rhat,
         ess=result.ess,
     )
+
+
+def _smc_tag(gp, obs_mean, obs_var, bounds, threshold, n_particles,
+             n_stages, n_mcmc, discrepancy, include_nugget, quantile,
+             rank, seed):
+    """Checkpoint identity for an SMC anneal: settings + observation +
+    every emulator data leaf, so a changed posterior or configuration
+    starts fresh instead of silently resuming a stale population."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha1()
+    h.update(
+        repr((
+            float(threshold), int(n_particles), int(n_stages), int(n_mcmc),
+            float(discrepancy), bool(include_nugget), float(quantile),
+            int(rank), int(seed),
+        )).encode()
+    )
+    for arr in (obs_mean, obs_var, bounds):
+        h.update(np.ascontiguousarray(np.asarray(arr, np.float64)))
+    ems = getattr(gp, "emulators", [gp])
+    for em in ems:
+        for leaf in jax.tree_util.tree_leaves(em._data):
+            h.update(np.ascontiguousarray(np.asarray(leaf, np.float64)))
+        h.update(type(em.kernel).__name__.encode())
+        h.update(str(em.nugget_type).encode())
+    return h.hexdigest()
+
+
+def save_smc(filename, state, tag=""):
+    """Atomically persist an SMC anneal state.
+
+    :param state: dict with ``particles``, ``scale``, ``key``, ``stage``,
+                  ``taus``, ``accs`` (numpy arrays / ints).
+    """
+    tmp = "{}.tmp.npz".format(filename)
+    np.savez(
+        tmp,
+        tag=np.asarray(str(tag)),
+        particles=np.asarray(state["particles"]),
+        scale=np.asarray(state["scale"]),
+        key=np.asarray(state["key"]),
+        stage=np.asarray(int(state["stage"])),
+        taus=np.asarray(state["taus"], dtype=np.float64),
+        accs=np.asarray(state["accs"], dtype=np.float64),
+    )
+    os.replace(tmp, str(filename))
+
+
+def load_smc(filename, tag=None):
+    """Load an SMC anneal state, or ``None`` when absent / for a
+    different run (mismatched ``tag``)."""
+    import warnings
+
+    if not os.path.exists(str(filename)):
+        return None
+    f = np.load(str(filename), allow_pickle=False)
+    if tag is not None and str(f["tag"]) != tag:
+        warnings.warn(
+            "SMC checkpoint at {} belongs to a different run "
+            "(configuration/data changed); starting fresh".format(filename)
+        )
+        return None
+    return {
+        "particles": f["particles"],
+        "scale": f["scale"],
+        "key": f["key"],
+        "stage": int(f["stage"]),
+        "taus": f["taus"],
+        "accs": f["accs"],
+    }
 
 
 def load_mcmc(filename):

@@ -216,6 +216,60 @@ def test_nuts_posterior_matches_quadrature_oracle():
     assert_allclose(s.var(0), var_q, rtol=0.2)
 
 
+def test_vi_posterior_matches_quadrature_oracle():
+    """Mean-field VI moments vs the same dense-grid quadrature oracle the
+    NUTS test uses (the repo's own evidence standard,
+    ``test_nuts_posterior_matches_quadrature_oracle``): the variational
+    mean must land on the posterior mean within a fraction of the
+    posterior scale, and the variational variance must show the KNOWN
+    mean-field bias direction -- underestimation on a correlated
+    posterior -- without collapsing."""
+    from mogp_tpu.models.fitting import _OPT_LADDER
+    from mogp_tpu.models.gp import gp_nlp
+    from mogp_tpu.models.inference import fit_GP_VI
+    from mogp_tpu.models.priors import GPPriors, LogNormalPrior
+
+    rng = np.random.RandomState(42)
+    x = rng.uniform(0, 1, size=(20, 1))
+    y = np.sin(4 * x[:, 0])
+    priors = GPPriors(
+        corr=[LogNormalPrior(0.5, 0.3)],
+        cov=LogNormalPrior(0.5, 1.0),
+        nugget_type="fixed",
+    )
+    gp = GaussianProcess(x, y, nugget=1e-6, priors=priors)
+
+    g1 = np.linspace(-8.0, 12.0, 301)
+    g2 = np.linspace(-10.0, 10.0, 301)
+    G1, G2 = np.meshgrid(g1, g2, indexing="ij")
+    pts = jnp.asarray(np.stack([G1.ravel(), G2.ravel()], axis=1))
+    nlp = jax.vmap(
+        lambda r: gp_nlp(r, gp._data, gp.kernel, gp.nugget_type,
+                         sparse_ladder=_OPT_LADDER)
+    )(pts)
+    nlp = np.asarray(nlp)
+    nlp = np.where(np.isfinite(nlp), nlp, np.inf)
+    w = np.exp(-(nlp - nlp.min()))
+    w /= w.sum()
+    mean_q = (w[:, None] * np.asarray(pts)).sum(0)
+    var_q = (w[:, None] * (np.asarray(pts) - mean_q) ** 2).sum(0)
+
+    np.random.seed(0)
+    gp = fit_GP_MAP(gp, n_tries=4, maxiter=100)
+    vi = fit_GP_VI(gp, n_steps=1000, theta0=gp.theta.get_data(), seed=1)
+    vi_var = np.exp(2.0 * vi.log_std)
+
+    # ELBO converged upward
+    assert vi.elbo_trace[-1] > vi.elbo_trace[0]
+    # variational mean within half a posterior standard deviation
+    assert np.all(np.abs(vi.mean - mean_q) < 0.5 * np.sqrt(var_q))
+    # mean-field bias direction: underestimates the marginal variances of
+    # a correlated posterior (allow a little slack above), but must not
+    # collapse to a point mass
+    assert np.all(vi_var <= 1.05 * var_q)
+    assert np.all(vi_var >= 0.25 * var_q)
+
+
 def test_segmented_nuts_matches_single_program():
     """The segmented chain runner (bounded per-dispatch work for large
     many-chain runs) must compose to the EXACT single-program chain:

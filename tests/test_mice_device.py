@@ -117,8 +117,8 @@ def test_score_step_matches_micefastgp_criterion():
     mask = jnp.asarray((np.arange(n_max) < n_obs).astype(np.float64))
     scores_dev, mu_dev = _mice_score_step(
         jnp.asarray(raw), data, mask, jnp.asarray(cands[None]),
-        jnp.ones((1, n_cand)), jnp.asarray(fast_nugget), KERNEL,
-        nugget_type, True,
+        jnp.ones((1, n_cand)), jnp.asarray(fast_nugget),
+        jnp.asarray(0.0), KERNEL, nugget_type, True,
     )
     assert_allclose(np.asarray(scores_dev), scores_ref, rtol=1e-7)
     assert_allclose(np.asarray(mu_dev), mu_ref, rtol=1e-8, atol=1e-10)
@@ -149,7 +149,7 @@ def test_score_step_partial_block_not_contaminated():
     scores_dev, _ = _mice_score_step(
         jnp.asarray(raw), data, mask, blocks,
         jnp.asarray(cmask.reshape(2, B)), jnp.asarray(fast_nugget),
-        KERNEL, "adaptive", True,
+        jnp.asarray(0.0), KERNEL, "adaptive", True,
     )
     scores_dev = np.asarray(scores_dev)[:n_cand]
 

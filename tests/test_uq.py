@@ -1,5 +1,7 @@
 """UQ-toolchain tests: designs, history matching, validation, gKDR, MICE."""
 
+import os
+
 import numpy as np
 import pytest
 import scipy.stats
@@ -323,6 +325,63 @@ def test_smc_history_match_concentrates_on_nroy():
     assert r.std() < 0.2
     # thresholds anneal down to the target
     assert res.thresholds[-1] == pytest.approx(3.0)
+
+
+def test_smc_checkpoint_resume_identity(tmp_path, monkeypatch):
+    """Segmented checkpointed SMC == single-program SMC, and a run
+    preempted mid-anneal resumes to the identical final population."""
+    from mogp_tpu.uq.smc import smc_history_match
+    from mogp_tpu.utils import checkpoint as ckpt_mod
+
+    np.random.seed(11)
+    x = np.random.rand(40, 2) * 4 - 2
+    y = x[:, 0] ** 2 + x[:, 1] ** 2
+    gp = fit_GP_MAP(GaussianProcess(x, y, nugget=1e-6), n_tries=10)
+    kwargs = dict(
+        obs=[1.0, 0.01], bounds=[[-2, 2], [-2, 2]],
+        n_particles=256, n_stages=5, n_mcmc=2, seed=3,
+    )
+
+    res_single = smc_history_match(gp, **kwargs)
+    p = str(tmp_path / "smc.npz")
+    res_ckpt = smc_history_match(gp, checkpoint_path=p, **kwargs)
+    assert not os.path.exists(p)  # removed on completion
+    np.testing.assert_allclose(
+        res_ckpt.particles, res_single.particles, rtol=1e-7, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        res_ckpt.thresholds, res_single.thresholds, rtol=1e-7
+    )
+
+    # preempt after stage 2: save_smc raises AFTER persisting stage 2
+    real_save = ckpt_mod.save_smc
+
+    def failing_save(filename, state, tag=""):
+        real_save(filename, state, tag=tag)
+        if int(state["stage"]) == 2:
+            raise RuntimeError("preempted")
+
+    monkeypatch.setattr(ckpt_mod, "save_smc", failing_save)
+    with pytest.raises(RuntimeError, match="preempted"):
+        smc_history_match(gp, checkpoint_path=p, **kwargs)
+    monkeypatch.setattr(ckpt_mod, "save_smc", real_save)
+    assert os.path.exists(p)
+    saved = ckpt_mod.load_smc(p)
+    assert saved["stage"] == 2
+
+    res_resumed = smc_history_match(gp, checkpoint_path=p, **kwargs)
+    np.testing.assert_allclose(
+        res_resumed.particles, res_ckpt.particles, rtol=1e-12, atol=0
+    )
+    np.testing.assert_allclose(res_resumed.thresholds, res_ckpt.thresholds)
+
+    # a checkpoint from a DIFFERENT run configuration is rejected
+    real_save(p, saved, tag="stale-tag")
+    with pytest.warns(UserWarning, match="different run"):
+        res_fresh = smc_history_match(gp, checkpoint_path=p, **kwargs)
+    np.testing.assert_allclose(
+        res_fresh.particles, res_ckpt.particles, rtol=1e-7, atol=1e-9
+    )
 
 
 def test_systematic_resample():
