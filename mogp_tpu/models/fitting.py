@@ -120,6 +120,13 @@ def _gather_starts(gp, n_tries, theta0):
 # MultiOutputGP fits; larger groups are processed in equal-size chunks.
 _MAX_LANES = int(os.environ.get("MOGP_TPU_MAX_FIT_LANES", "256"))
 
+# Per-phase wall-clock of the LAST _fit_MOGP_MAP call, as (label, seconds)
+# pairs -- read by bench.py to attach phase timestamps to every timed
+# sample so external slowdowns (tunnel/device load) are distinguishable
+# from algorithmic regressions (each chunk pull syncs, so the splits are
+# accurate).  Cost: a few perf_counter calls per fit.
+last_phase_times = []
+
 
 def _extract_opt_options(kwargs):
     maxiter = int(kwargs.pop("maxiter", 200))
@@ -306,6 +313,11 @@ def _run_fit_chunked(ems, starts, kernel, nugget_type, maxiter, gtol, ftol,
 
     fun = np.empty((G, T), dtype=np.float64)
     xs = np.empty((G, T, P), dtype=np.float64)
+    # dispatch every chunk before pulling any result: JAX dispatch is
+    # async, so chunk k+1's host-side staging (pytree stacking, input
+    # upload, dispatch RPC) overlaps chunk k's device execution instead
+    # of leaving the device idle during each pull
+    pending = []
     for c0 in range(0, G, chunk):
         sel = slice(c0, min(c0 + chunk, G))
         pad = chunk - (sel.stop - sel.start)
@@ -330,9 +342,12 @@ def _run_fit_chunked(ems, starts, kernel, nugget_type, maxiter, gtol, ftol,
         if mesh is not None and jax.process_count() > 1:
             # multi-host (DCN): each process computes only its shard of
             # the outputs axis; gather the global result on every host
+            # (blocking here is required -- the collective is ordered)
             from jax.experimental import multihost_utils
 
             res = multihost_utils.process_allgather(res, tiled=True)
+        pending.append((sel, res))
+    for sel, res in pending:
         fun[sel] = np.asarray(res.fun, dtype=np.float64)[: sel.stop - sel.start]
         xs[sel] = np.asarray(res.x, dtype=np.float64)[: sel.stop - sel.start]
     return fun, xs
@@ -383,6 +398,17 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False,
     if not indices_to_fit:
         return gp
 
+    import time as _time
+
+    del last_phase_times[:]
+    _t_phase = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal _t_phase
+        now = _time.perf_counter()
+        last_phase_times.append((label, now - _t_phase))
+        _t_phase = now
+
     # group emulators so each compiled program covers a uniform batch
     for sig, rel_indices in gp._groups(
         [gp.emulators[i] for i in indices_to_fit]
@@ -422,6 +448,7 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False,
                 ladder, dtype, chunk=(chunk_q if stage_idx == 0 else None),
                 mesh=mesh,
             )
+            _mark("stage{}".format(stage_idx))
             if keep is not None:
                 # top `keep` restarts per output advance; non-finite
                 # restarts sort last.  (A descent-aware score crediting
@@ -456,6 +483,7 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False,
                         np.where(finite_f, fun_f[j], np.inf)
                     ))
                     rescue[r] = xs_f[j, idx]
+            _mark("rescue")
 
         best_raw = np.empty((G, starts.shape[-1]), dtype=np.float64)
         fit_rows = []
@@ -493,6 +521,7 @@ def _fit_MOGP_MAP(gp, n_tries=15, theta0=None, method="L-BFGS-B", refit=False,
                     best_raw[row],
                     jax.tree_util.tree_map(lambda x: x[k], arts),
                 )
+        _mark("refit")
     return gp
 
 

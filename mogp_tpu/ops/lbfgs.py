@@ -10,15 +10,18 @@ of every output advances in lockstep inside a single XLA program instead
 of a process pool (``fitting.py:333-335``).
 
 Failure semantics: a start whose objective is non-finite (non-PD
-covariance and similar), or whose line search cannot find a decrease,
-simply stops iterating and reports its best-seen point; NaN objectives
-propagate to the final value where the caller masks them out -- the
-XLA-friendly version of the reference's try/except-skip restart policy
-(``fitting.py:252-255``).
+covariance and similar) stops iterating and reports its best-seen point;
+NaN objectives propagate to the final value where the caller masks them
+out -- the XLA-friendly version of the reference's try/except-skip
+restart policy (``fitting.py:252-255``).  A line search that exhausts
+its per-iteration trial cap does NOT terminate the lane: the shrunken
+step warm-starts the next iteration (see ``_DEF_MAX_LS``), and the lane
+stops only on convergence, step collapse, or stall.
 
 The objective must be smooth; gradients come from ``jax.value_and_grad``.
 """
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -26,6 +29,18 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["LBFGSResult", "lbfgs_minimize"]
+
+# Per-iteration line-search trial cap.  Under vmap every lane pays the
+# batch-MAX trial count per lockstep iteration (each trial is one full
+# batched objective), so the cap is a direct multiplier on batched fit
+# cost.  A capped-out search does NOT terminate the lane: the shrunken
+# step carries into the next iteration's warm start, so a deep
+# backtracking ladder is amortized ACROSS iterations instead of charging
+# every lane for it within one (measured on the tsunami-shape batch:
+# race phase A from random prior starts was ~85% of fit wall-clock,
+# ~3x phase B's per-lane-iteration cost, almost entirely batch-max
+# trial ladders).
+_DEF_MAX_LS = int(os.environ.get("MOGP_TPU_MAX_LINESEARCH", "4"))
 
 
 class LBFGSResult(NamedTuple):
@@ -95,7 +110,7 @@ def lbfgs_minimize(
     gtol=None,
     ftol=None,
     memory=10,
-    max_linesearch=10,
+    max_linesearch=None,
     c1=1e-4,
     c2=0.9,
 ):
@@ -112,6 +127,8 @@ def lbfgs_minimize(
                  ~1e-10 in f64, ~1e-6 in f32.
     :returns: ``LBFGSResult``.  Jittable and vmappable.
     """
+    if max_linesearch is None:
+        max_linesearch = _DEF_MAX_LS
     value_and_grad = jax.value_and_grad(fun)
     P = x0.shape[0]
     dtype = x0.dtype
@@ -226,12 +243,16 @@ def lbfgs_minimize(
         carry = (
             t0, jnp.zeros((), jnp.int32), jnp.logical_not(active), x, f, g, t0,
         )
-        _, _, accepted, xt, ft, gt, t_acc = lax.while_loop(cond, body, carry)
+        t_next, _, accepted, xt, ft, gt, t_acc = lax.while_loop(
+            cond, body, carry
+        )
         # rejected lanes already carry (x, f, g) unchanged: the carry
         # initializes the trial slots to the incumbent point and only
-        # overwrites them on acceptance
+        # overwrites them on acceptance.  t_next is the (shrunken) step
+        # the NEXT trial would have used -- a capped-out lane resumes its
+        # backtracking ladder there next iteration.
         accepted = jnp.logical_and(accepted, active)
-        return accepted, xt, ft, gt, t_acc
+        return accepted, xt, ft, gt, t_acc, t_next
 
     def step(state):
         d = _two_loop(
@@ -260,7 +281,7 @@ def lbfgs_minimize(
             jnp.minimum(2.0 * state.t_prev, 1.0),
         ).astype(dtype)
 
-        accepted, x_new, f_new, g_new, t_acc = linesearch(
+        accepted, x_new, f_new, g_new, t_acc, t_next = linesearch(
             state.x, state.f, state.g, d, t0, jnp.logical_not(state.done)
         )
 
@@ -291,14 +312,24 @@ def lbfgs_minimize(
         )
         # stall detection: lockstep-batched lanes that bounce around a
         # plateau without net progress would otherwise run to maxiter and
-        # hold the whole batch hostage
+        # hold the whole batch hostage.  A capped-out line search is NOT
+        # terminal: the lane keeps its point, resumes the (shrunken)
+        # backtracking ladder next iteration via t_prev, and only stops
+        # when the step has collapsed below any float-representable
+        # decrease or the stall counter fires -- this is what makes a
+        # LOW trial cap safe (the ladder amortizes across iterations
+        # instead of costing every lane the batch-max within one).
         improved = f_new < state.f_best - ftol * jnp.maximum(
             jnp.abs(state.f_best), 1.0
         )
         f_best = jnp.minimum(state.f_best, f_new)
         stall = jnp.where(improved, 0, state.stall + 1)
+        t_carry = jnp.where(accepted, t_acc, t_next).astype(dtype)
+        step_collapsed = jnp.logical_and(
+            jnp.logical_not(accepted), t_carry <= 1e3 * jnp.finfo(dtype).tiny
+        )
         done = jnp.logical_or(
-            jnp.logical_or(converged, jnp.logical_not(accepted)),
+            jnp.logical_or(converged, step_collapsed),
             stall >= 10,
         )
 
@@ -309,7 +340,7 @@ def lbfgs_minimize(
             S=S, Y=Y, rho=rho, gamma=gamma, n_hist=n_hist,
             f_best=f_best,
             stall=stall,
-            t_prev=jnp.where(accepted, t_acc, state.t_prev).astype(dtype),
+            t_prev=t_carry,
             it=state.it + 1,
             done=done,
             converged=converged,
