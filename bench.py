@@ -194,21 +194,38 @@ def tsunami_real_block():
     out["quality_mean_nlp_gap"] = round(gap_mean, 4)
     out["quality_max_nlp_gap"] = round(gap_max, 4)
 
-    # holdout predictive accuracy: fit on 180 points, predict 30
+    # holdout predictive accuracy: fit on 180 points, predict 30.
+    # Measured (CPU f64 + TPU f32 agree): under the reference's default
+    # ZERO mean the tsunami outputs show no exploitable correlation
+    # structure (MAP correlation lengths sit at the prior spacing scale,
+    # holdout rmse/std ~1.3-1.5 vs 0.97 for the mean predictor, with
+    # honest ~98% 2-sigma coverage) -- the response is in the MEAN, not
+    # the covariance: with a linear mean formula (reference-expressible,
+    # GaussianProcess.py:505 patsy formulas) rmse/std collapses to
+    # ~0.02.  Both protocols are reported.
     perm = np.random.RandomState(0).permutation(inputs.shape[0])
     tr, te = perm[:180], perm[180:]
-    mgp_tr = MultiOutputGP(inputs[tr], targets[:, tr], nugget="adaptive")
-    np.random.seed(8)
-    fit_GP_MAP(mgp_tr, n_tries=N_TRIES, maxiter=50)
-    res = mgp_tr.predict(inputs[te], allow_not_fit=True)
-    mu, var = np.asarray(res.mean), np.asarray(res.unc)
     yte = targets[:, te]
     std = targets.std(axis=1)
-    rmse_std = np.sqrt(np.mean((mu - yte) ** 2, axis=1)) / std
-    ok = np.isfinite(rmse_std)
-    out["holdout_rmse_std"] = round(float(np.mean(rmse_std[ok])), 4)
-    z2 = np.abs(mu - yte) <= 2.0 * np.sqrt(var)
-    out["holdout_coverage_2sd"] = round(float(np.mean(z2[ok])), 4)
+
+    def holdout(mean):
+        mgp_tr = MultiOutputGP(inputs[tr], targets[:, tr], mean=mean,
+                               nugget="adaptive")
+        np.random.seed(8)
+        fit_GP_MAP(mgp_tr, n_tries=N_TRIES, maxiter=50)
+        res = mgp_tr.predict(inputs[te], allow_not_fit=True)
+        mu, var = np.asarray(res.mean), np.asarray(res.unc)
+        rmse_std = np.sqrt(np.mean((mu - yte) ** 2, axis=1)) / std
+        ok = np.isfinite(rmse_std)
+        z2 = np.abs(mu - yte) <= 2.0 * np.sqrt(var)
+        return (
+            round(float(np.mean(rmse_std[ok])), 4),
+            round(float(np.mean(z2[ok])), 4),
+        )
+
+    out["holdout_rmse_std"], out["holdout_coverage_2sd"] = holdout(None)
+    linear = " + ".join("x[{}]".format(i) for i in range(inputs.shape[1]))
+    out["holdout_rmse_std_linear_mean"], out["holdout_coverage_2sd_linear_mean"] = holdout(linear)
     return out
 
 
@@ -255,17 +272,27 @@ def nuts_ess_per_sec(n_chains=4, n_samples=200, n_warmup=200):
         for L in sorted(lengths):
             sample_GP_MCMC(gp, n_samples=L, n_warmup=L, n_chains=n_chains,
                            theta0=gp.theta.get_data(), seed=0, segment=L)
+    probe = dispatch_probe_ms()
     t0 = time.perf_counter()
     res = sample_GP_MCMC(gp, n_samples=n_samples, n_warmup=n_warmup,
                          n_chains=n_chains, theta0=gp.theta.get_data(), seed=1)
     dt = time.perf_counter() - t0
+    import sys
+
+    print("# nuts{}: {:.1f}s timed, probe {:.0f} ms".format(
+        n_chains, dt, probe), file=sys.stderr, flush=True)
     return ess_per_sec(res.ess, dt)
 
 
-def large_n_tflops(n=4096, iters=8):
+def large_n_tflops(n=4096, iters=8, extras_out=None):
     """BASELINE metric #3 in the regime where TFLOP/s is meaningful: the
-    n=4096 fit-artifact program (K build + full jitter ladder + solves),
-    matching ``benchmarks/benchmark_large_n.py``'s headline point.
+    n=4096 fit-artifact program (K build + adaptive jitter escalation +
+    solves), matching ``benchmarks/benchmark_large_n.py``'s headline
+    point.  FLOPs are counted for the factorizations ACTUALLY executed
+    (the progressive ladder stops at the first finite rung; the realized
+    nugget tells which rung that was); ``large_n_fit_ms`` -- wall-clock
+    per fit artifact -- is emitted alongside, and is the number the
+    ladder change improves.
 
     Measured as an on-device ``fori_loop`` slope (the loop-slope method
     of ``docs/tpu_performance.md``): per-call timing through the tunnel
@@ -301,11 +328,28 @@ def large_n_tflops(n=4096, iters=8):
 
         return lax.fori_loop(0, iters, body, jnp.zeros((), dtype))
 
+    # realized jitter -> number of ladder rungs the progressive path
+    # executed (jitter 0 -> 1 rung; 1e-6*10^k*mean_diag -> k+2 rungs)
+    arts = gp_fit(raw, gp._data, gp.kernel, gp.nugget_type)
+    jit_val = float(arts.nugget)
+    mean_diag = float(np.exp(theta[D]))  # K diagonal = sigma2
+    if jit_val == 0.0:
+        rungs = 1
+    else:
+        rungs = int(round(np.log10(jit_val / (1e-6 * mean_diag)))) + 2
+    from mogp_tpu.ops.cholesky import _PROGRESSIVE_LADDER_MIN_N
+
+    if n < _PROGRESSIVE_LADDER_MIN_N:
+        rungs = 6  # batched full ladder executes every candidate
+
     np.asarray(chained(raw))  # compile + run
     t0 = time.perf_counter()
     np.asarray(chained(raw))
     dt = (time.perf_counter() - t0) / iters
-    return flops_gp_nlp(n, D) / dt / 1e12
+    if extras_out is not None:
+        extras_out["large_n_fit_ms"] = round(dt * 1e3, 2)
+        extras_out["large_n_ladder_rungs"] = rungs
+    return flops_gp_nlp(n, D, adaptive_candidates=rungs) / dt / 1e12
 
 
 def sweep_points_per_sec(n_query=1_000_000):
@@ -566,7 +610,10 @@ def main():
             ("quality_mean_nlp_gap", quality64),
             ("tsunami_real", tsunami_real_block),
             ("nuts64_min_ess_per_sec", lambda: nuts_ess_per_sec(n_chains=64)),
-            ("large_n_tflops_per_chip", large_n_tflops),
+            ("large_n_tflops_per_chip",
+             lambda: large_n_tflops(extras_out=extras)),
+            ("large_n8192_tflops_per_chip",
+             lambda: large_n_tflops(n=8192, iters=4)),
             ("sweep_points_per_sec", sweep_points_per_sec),
             ("vi_steps_per_sec", vi_steps_per_sec),
             ("nuts_min_ess_per_sec", nuts_ess_per_sec),

@@ -44,6 +44,22 @@ from . import blocked
 # here because its optimum was measured independently.
 _TRSM_LEAF = 32
 
+# Above this n, the adaptive ladder factorizes its jitter candidates
+# SEQUENTIALLY (lax.while_loop, stop at first success) instead of as one
+# batched 6-candidate Cholesky: at large n each candidate is
+# milliseconds of MXU work, so the batched ladder wastes 4-5 full
+# factorizations in the common case where rung 0/1 succeeds; at small n
+# the per-factorization latency dominates and the batched form wins
+# (docs/tpu_performance.md).  Env: MOGP_TPU_PROGRESSIVE_LADDER_MIN_N
+# (0 disables the progressive path).
+import os as _os
+
+_PROGRESSIVE_LADDER_MIN_N = int(
+    _os.environ.get("MOGP_TPU_PROGRESSIVE_LADDER_MIN_N", "1024")
+)
+if _PROGRESSIVE_LADDER_MIN_N <= 0:
+    _PROGRESSIVE_LADDER_MIN_N = 1 << 62
+
 # upper bound on matrix size for the batched small-n blocked dispatch:
 # the supporting measurements cover the headline batched regime
 # (hundreds of lanes, n ~ 210); beyond a few hundred the trace-time
@@ -283,6 +299,45 @@ def jit_cholesky(A, maxtries=5, reuse_factor=True, sparse_ladder=False,
         jitters = jnp.concatenate(
             [jnp.zeros((1,), dtype=A.dtype), mean_diag * 1e-6 * exponents]
         )
+    if (
+        sparse_ladder is False
+        and A.ndim == 2
+        and n >= _PROGRESSIVE_LADDER_MIN_N
+    ):
+        # LARGE-n escalation: factorize candidates SEQUENTIALLY and stop
+        # at the first finite one.  The batched all-candidates ladder
+        # below is right for small matrices (the extra FLOPs are free
+        # next to per-factorization latency, and it vectorizes cleanly
+        # under vmapped optimizers), but at n >= ~1024 each candidate is
+        # milliseconds of MXU work and the common case (rung 0 or 1
+        # succeeds) wastes 4-5 full factorizations: measured at n=4096
+        # f32, the fit-artifact program drops ~3x in wall-clock (see
+        # docs/tpu_performance.md roofline).  Static shape gate, so
+        # small-n programs are untouched.
+        def cond(c):
+            k, _, ok = c
+            return jnp.logical_and(jnp.logical_not(ok), k < jitters.shape[0])
+
+        def body(c):
+            k, _, _ = c
+            Lk = _chol(A_sg + jitters[k] * eye)
+            return k + 1, Lk, jnp.all(jnp.isfinite(Lk))
+
+        k_end, L_last, any_ok = lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32),
+                         jnp.full_like(A_sg, jnp.nan), jnp.array(False))
+        )
+        jitter = jnp.where(
+            any_ok, jitters[jnp.maximum(k_end - 1, 0)],
+            jnp.full((), jnp.nan, dtype=A.dtype),
+        )
+        if reuse_factor:
+            L_sel = jnp.where(any_ok, L_last, jnp.full_like(L_last, jnp.nan))
+            L = _chol_of_sum(A + jitter * eye, L_sel)
+        else:
+            L = _chol(A + jitter * eye)
+        return ChoFactor(L), jitter
+
     batch = A_sg[None, :, :] + jitters[:, None, None] * eye[None, :, :]
     Ls = _chol(batch)  # one batched factorization, (maxtries+1, n, n)
     ok = jnp.all(jnp.isfinite(Ls), axis=(1, 2))

@@ -39,8 +39,11 @@ __all__ = ["LBFGSResult", "lbfgs_minimize"]
 # every lane for it within one (measured on the tsunami-shape batch:
 # race phase A from random prior starts was ~85% of fit wall-clock,
 # ~3x phase B's per-lane-iteration cost, almost entirely batch-max
-# trial ladders).
-_DEF_MAX_LS = int(os.environ.get("MOGP_TPU_MAX_LINESEARCH", "4"))
+# trial ladders).  Shipped default 2 from the same-session cap sweep in
+# docs/tpu_performance.md (12-13 fits/s vs 5.4-5.6 for the old
+# terminate-on-failure design, race-vs-strict gap within the 0.01 gate;
+# cap=1 measured faster still but with a worse per-output max gap).
+_DEF_MAX_LS = int(os.environ.get("MOGP_TPU_MAX_LINESEARCH", "2"))
 
 
 class LBFGSResult(NamedTuple):
