@@ -596,7 +596,7 @@ def main():
 
     # secondary metrics (BASELINE.md asks for all three + quality gates),
     # in priority order; each one re-emits the enriched line when done
-    budget_ok = lambda: time.time() - timed_start < 660  # noqa: E731
+    budget_ok = lambda: time.time() - timed_start < 780  # noqa: E731
     if backend != "cpu-fallback":
 
         def quality64():

@@ -107,9 +107,11 @@ def main(full=False, seed=1):
             mgp, n_chains=n_chains, n_samples=n_samples,
             n_warmup=n_samples, seed=seed,
         )
-    worst_rhat = max(float(r.rhat.max()) for r in results)
-    print("  {} outputs x {} chains x {} samples, worst R-hat {:.3f}".format(
-        len(results), n_chains, n_samples, worst_rhat))
+    rhats = np.array([float(r.rhat.max()) for r in results])
+    print("  {} outputs x {} chains x {} samples: {} outputs mixed "
+          "(R-hat < 1.1), median R-hat {:.3f}, worst {:.3f}".format(
+              len(results), n_chains, n_samples, int((rhats < 1.1).sum()),
+              float(np.median(rhats)), float(rhats.max())))
 
     # observation: the simulator at a known input, with noise
     x_true = 0.5 + 0.1 * rng.randn(D_FULL)

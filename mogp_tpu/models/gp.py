@@ -182,7 +182,7 @@ def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
         reuse_factor=reuse_factor, sparse_ladder=sparse_ladder,
     )
 
-    from ..ops.linalg import marginal_core, marginal_nlp
+    from ..ops.linalg import dot_hp, marginal_core, marginal_nlp
 
     # One stacked half-solve W = L^-1 [H | (y - m)] provides everything
     # the marginalized-mean math needs (the reference's three separate
@@ -198,7 +198,7 @@ def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
     # Kinv_t_mean = K^-1 (y - H mean) = Kinv_t + (K^-1 H)(b - mean)
     full = Kinv.solve_from_half(core.W)
     Kinv_dm, Kinv_t = full[:, :-1], full[:, -1]
-    Kinv_t_mean = Kinv_t + jnp.dot(Kinv_dm, data.mean_mean - mean)
+    Kinv_t_mean = Kinv_t + dot_hp(Kinv_dm, data.mean_mean - mean)
 
     logpost = marginal_nlp(core, Kinv, data.mean_logdet_cov, data.n_coeff)
     logpost = logpost - _prior_logp(data, raw, n_corr, nugget_type)
@@ -275,12 +275,14 @@ def _gp_predict_impl(
     corr_raw = artifacts.raw[:n_corr]
     sigma2 = jnp.exp(artifacts.raw[n_corr])
 
-    mtest = jnp.dot(dmtest, artifacts.mean)
+    from ..ops.linalg import dot_hp
+
+    mtest = dot_hp(dmtest, artifacts.mean)
     # prediction is never differentiated: use the fused (Pallas-on-TPU)
     # kernel-matrix build for the cross covariance
     Ktest = sigma2 * kernel.kernel_f_predict(data.inputs, testing, corr_raw)
 
-    mu = mtest + jnp.dot(Ktest.T, artifacts.Kinv_t_mean)
+    mu = mtest + dot_hp(Ktest.T, artifacts.Kinv_t_mean)
 
     if not unc:
         return mu, None
@@ -289,7 +291,7 @@ def _gp_predict_impl(
     # K^-1 H and symmetry of K: one MXU matmul, no triangular solve.
     # The quadratic forms use half-solves (one lower sweep each) instead
     # of full solves -- triangular solves are the latency-bound op here.
-    R = dmtest.T - jnp.dot(artifacts.Kinv_dm.T, Ktest)  # (M, m)
+    R = dmtest.T - dot_hp(artifacts.Kinv_dm.T, Ktest)  # (M, m)
     Linv_Ktest = artifacts.Kinv.solve_L(Ktest)
     LAinv_R = artifacts.Ainv.solve_L(R)
 
@@ -301,8 +303,8 @@ def _gp_predict_impl(
             ) * artifacts.nugget
         var = (
             sigma_2
-            - jnp.dot(Linv_Ktest.T, Linv_Ktest)
-            + jnp.dot(LAinv_R.T, LAinv_R)
+            - dot_hp(Linv_Ktest.T, Linv_Ktest)
+            + dot_hp(LAinv_R.T, LAinv_R)
         )
     else:
         sigma_2 = sigma2

@@ -17,13 +17,26 @@ This module is the single implementation used by both the fit-artifact
 path and the lean optimizer objective (``models/gp.py``).
 """
 
+from functools import partial
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .cholesky import ChoFactor, fixed_cholesky
 
-__all__ = ["MarginalCore", "marginal_core", "marginal_nlp"]
+__all__ = ["MarginalCore", "marginal_core", "marginal_nlp", "dot_hp"]
+
+# Full-f32 dot for the mean-marginalization algebra.  On TPU the default
+# matmul precision is bf16-input: harmless for the kernel-matrix build
+# (guarded separately with HIGHEST in ops/kernels.py) and for zero-mean
+# GPs (H is empty), but catastrophic for A = Wh^T Wh when the design
+# matrix is non-trivial and K is near-singular -- Wh = L^-1 H carries
+# K^-1-amplified entries, and an 8-bit mantissa turns the mean
+# coefficients into garbage (observed: linear-mean tsunami holdout
+# rmse/std 5e4 on TPU vs 0.02 on CPU-f32).  These dots are tiny (n x M,
+# M <= ~16) next to the factorization, so HIGHEST costs nothing.
+dot_hp = partial(jnp.dot, precision=jax.lax.Precision.HIGHEST)
 
 
 class MarginalCore(NamedTuple):
@@ -53,9 +66,9 @@ def marginal_core(Kinv, dm, resid, mean_inv_cov):
     W = Kinv.solve_L(rhs)
     Wh, alpha = W[:, :-1], W[:, -1]
     # A = H^T K^-1 H + B^-1 = Wh^T Wh + B^-1   (linalg_utils.py:5-40)
-    A = jnp.dot(Wh.T, Wh) + mean_inv_cov
+    A = dot_hp(Wh.T, Wh) + mean_inv_cov
     Ainv = ChoFactor(fixed_cholesky(A))
-    H_Kinv_t = jnp.dot(Wh.T, alpha)
+    H_Kinv_t = dot_hp(Wh.T, alpha)
     return MarginalCore(W=W, Wh=Wh, alpha=alpha, Ainv=Ainv, H_Kinv_t=H_Kinv_t)
 
 
@@ -64,8 +77,8 @@ def marginal_nlp(core: MarginalCore, Kinv, mean_logdet_cov, n_coeff):
     (``GaussianProcess.py:674-685``): quadratic form, the mean-
     marginalization correction, and all log-determinant terms."""
     return 0.5 * (
-        jnp.dot(core.alpha, core.alpha)
-        - jnp.dot(core.H_Kinv_t, core.Ainv.solve(core.H_Kinv_t))
+        dot_hp(core.alpha, core.alpha)
+        - dot_hp(core.H_Kinv_t, core.Ainv.solve(core.H_Kinv_t))
         + Kinv.logdet()
         + core.Ainv.logdet()
         + mean_logdet_cov
