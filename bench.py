@@ -618,6 +618,9 @@ def main():
             ("vi_steps_per_sec", vi_steps_per_sec),
             ("nuts_min_ess_per_sec", nuts_ess_per_sec),
             ("chol_k_tflops_per_chip", chol_k_tflops),
+            # (100+100) keeps this affordable in-budget; measured 94-100
+            # min-ESS/s either way (chain scaling saturates ~64 chains on
+            # one chip; docs/tpu_performance.md)
             ("nuts256_min_ess_per_sec",
              lambda: nuts_ess_per_sec(n_chains=256, n_samples=100,
                                       n_warmup=100)),

@@ -14,6 +14,12 @@ small self-contained formula layer produces the design matrix directly:
   ``*`` crossing (``a*b == a + b + a:b``), ``I(expr)`` literal arithmetic,
   and numpy-style expressions on ``x`` (e.g. ``"x[0] + I(x[0]**2)"``).
 
+Documented boundary vs patsy: this covers the full NUMERIC surface (all
+the reference's own demos/tests use), but patsy's categorical terms
+(``C(x)`` dummy coding) and arbitrary-environment name lookup are not
+supported -- GP emulator inputs are continuous simulator parameters.
+``C(...)`` raises an explicit error rather than a generic name failure.
+
 The design matrix is a plain array, so everything downstream stays
 jittable; formula parsing happens once on the host at model-construction
 time.
@@ -118,6 +124,13 @@ def _eval_factor(factor, x_data):
     try:
         val = eval(factor, namespace)  # noqa: S307 - restricted namespace
     except Exception as exc:
+        if factor.lstrip().startswith("C(") or "C(" in factor:
+            raise ValueError(
+                "categorical terms (patsy 'C(...)') are not supported: "
+                "mean formulas cover the numeric surface only (GP "
+                "emulator inputs are continuous simulator parameters); "
+                "offending term: '{}'".format(factor)
+            )
         raise ValueError(
             "Provided mean function is invalid: could not evaluate "
             "term '{}': {}".format(factor, exc)

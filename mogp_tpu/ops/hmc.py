@@ -101,7 +101,8 @@ def _is_turning(inv_mass, p_left, p_right, p_sum):
     """Generalized U-turn criterion on a trajectory segment."""
     v = inv_mass * p_sum
     return jnp.logical_or(
-        jnp.dot(v, p_left) <= 0.0, jnp.dot(v, p_right) <= 0.0
+        jnp.dot(v, p_left, precision=jax.lax.Precision.HIGHEST) <= 0.0,
+        jnp.dot(v, p_right, precision=jax.lax.Precision.HIGHEST) <= 0.0
     )
 
 

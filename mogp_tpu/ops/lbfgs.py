@@ -30,6 +30,13 @@ from jax import lax
 
 __all__ = ["LBFGSResult", "lbfgs_minimize"]
 
+def _dot(a, b):
+    # full-f32 dot: these are tiny (P,) contractions, but on TPU the
+    # default matmul precision is bf16-input and the curvature tests
+    # (s.y, y.y, g.d) deserve full mantissas
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 # Per-iteration line-search trial cap.  Under vmap every lane pays the
 # batch-MAX trial count per lockstep iteration (each trial is one full
 # batched objective), so the cap is a direct multiplier on batched fit
@@ -85,7 +92,7 @@ def _two_loop(g, S, Y, rho, gamma, n_hist):
     def bwd(carry, operands):
         q, = carry
         s, y, rh, v = operands
-        alpha = jnp.where(v, rh * jnp.dot(s, q), 0.0)
+        alpha = jnp.where(v, rh * _dot(s, q), 0.0)
         q = q - alpha * y
         return (q,), alpha
 
@@ -98,7 +105,7 @@ def _two_loop(g, S, Y, rho, gamma, n_hist):
     def fwd(carry, operands):
         r, = carry
         s, y, rh, v, alpha = operands
-        beta = jnp.where(v, rh * jnp.dot(y, r), 0.0)
+        beta = jnp.where(v, rh * _dot(y, r), 0.0)
         r = r + (alpha - beta) * s * v
         return (r,), None
 
@@ -193,7 +200,7 @@ def lbfgs_minimize(
         exists, so without this flag they would drag every batched
         iteration to ``max_linesearch`` objective evaluations.
         """
-        gd = jnp.dot(g, d)
+        gd = _dot(g, d)
 
         def cond(carry):
             t, ls_it, accepted, *_ = carry
@@ -262,7 +269,7 @@ def lbfgs_minimize(
             state.g, state.S, state.Y, state.rho, state.gamma, state.n_hist,
         )
         # safeguard: fall back to steepest descent if not a descent direction
-        descent = jnp.dot(state.g, d) < 0
+        descent = _dot(state.g, d) < 0
         d = jnp.where(descent, d, -state.g)
 
         # with no curvature history the direction is the raw (unscaled)
@@ -290,7 +297,7 @@ def lbfgs_minimize(
 
         s = x_new - state.x
         y = g_new - state.g
-        sy = jnp.dot(s, y)
+        sy = _dot(s, y)
         curv_ok = sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y)
         store = jnp.logical_and(accepted, curv_ok)
 
@@ -304,7 +311,7 @@ def lbfgs_minimize(
         Y = jnp.where(store, Y_rolled, state.Y)
         rho = jnp.where(store, rho_rolled, state.rho)
         n_hist = jnp.where(store, jnp.minimum(state.n_hist + 1, m), state.n_hist)
-        gamma = jnp.where(store, sy / jnp.dot(y, y), state.gamma)
+        gamma = jnp.where(store, sy / _dot(y, y), state.gamma)
 
         g_conv = jnp.max(jnp.abs(g_new)) <= gtol
         f_conv = jnp.abs(f_new - state.f) <= ftol * jnp.maximum(

@@ -51,7 +51,9 @@ def _gkdr_projection(X, Y, SGX2, SGY2, EPS):
 
     def sq_gram(Z, s2):
         sq = jnp.sum(Z * Z, axis=1)
-        d2 = sq[:, None] + sq[None, :] - 2.0 * (Z @ Z.T)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.matmul(
+            Z, Z.T, precision=jax.lax.Precision.HIGHEST
+        )
         return jnp.exp(-0.5 * jnp.maximum(d2, 0.0) / s2)
 
     Kx = sq_gram(X, SGX2)

@@ -190,7 +190,7 @@ def _mice_score_step(raw, data, mask, cand_blocks, cand_mask, fast_nugget,
             * kernel.kernel_f(data.inputs, cand, corr_raw)
             * mask[:, None]
         )
-        mu = jnp.dot(Kstar.T, Kinv_t)
+        mu = jnp.dot(Kstar.T, Kinv_t, precision=jax.lax.Precision.HIGHEST)
         half = Kinv.solve_L(Kstar)
         unc1 = jnp.maximum(
             sigma2 + nugget - jnp.sum(half**2, axis=0), 0.0

@@ -185,3 +185,15 @@ def test_power_exponent_derivative():
     deriv = mf.mean_deriv(X, params)
     expect = X[:, 0] ** 1.7 * np.log(X[:, 0])
     assert_allclose(deriv[0], expect, rtol=1e-7)
+
+
+def test_categorical_terms_rejected_explicitly():
+    """Documented boundary vs patsy: C(...) categorical terms raise a
+    clear error naming the limitation (meanfun.py module docstring)."""
+    import numpy as np
+    import pytest
+
+    from mogp_tpu.models.meanfun import design_matrix
+
+    with pytest.raises(ValueError, match="categorical terms"):
+        design_matrix("C(x[0])", np.random.rand(5, 2))
