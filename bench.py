@@ -120,7 +120,11 @@ def timed_fit(n_outputs, warmed, inputs=None, targets=None, seed_fit=1):
     t0 = time.perf_counter()
     fit_GP_MAP(mgp, n_tries=N_TRIES, refit=True, maxiter=50)
     dt = time.perf_counter() - t0
-    phases = {k: round(v, 3) for k, v in fitting.last_phase_times}
+    # sum per label: a fit spanning several emulator groups appends one
+    # set of phase entries per group
+    phases = {}
+    for k, v in fitting.last_phase_times:
+        phases[k] = round(phases.get(k, 0.0) + v, 3)
     return len(mgp.get_indices_fit()) / dt, mgp, phases
 
 
@@ -600,8 +604,14 @@ def main():
     if backend != "cpu-fallback":
 
         def quality64():
+            # re-fit the fast side with the SAME restart seed the strict
+            # schedule uses (1): the timed samples rotate seeds, and a
+            # seed mismatch would conflate restart-draw luck with
+            # schedule quality
+            _, mgp_q, _ = timed_fit(64, warmed=True, inputs=syn_inputs,
+                                    targets=syn_targets, seed_fit=1)
             gap_mean, gap_max = quality_gap(
-                mgp_last, syn_inputs, syn_targets, n_check=64
+                mgp_q, syn_inputs, syn_targets, n_check=64
             )
             extras["quality_max_nlp_gap"] = round(gap_max, 4)
             return gap_mean

@@ -54,7 +54,8 @@ def _batched_fit_single(starts, data, kernel, nugget_type, maxiter, gtol, ftol,
     def minimize_one(x0):
         return lbfgs_minimize(
             lambda raw: gp_nlp(raw, data, kernel, nugget_type,
-                               sparse_ladder=ladder),
+                               sparse_ladder=ladder,
+                               progressive_ok=False),
             x0,
             maxiter=maxiter,
             gtol=gtol,
@@ -77,7 +78,8 @@ def _batched_fit_multi(starts, data, kernel, nugget_type, maxiter, gtol, ftol,
         return jax.vmap(
             lambda x0: lbfgs_minimize(
                 lambda raw: gp_nlp(raw, d, kernel, nugget_type,
-                                   sparse_ladder=ladder),
+                                   sparse_ladder=ladder,
+                                   progressive_ok=False),
                 x0,
                 maxiter=maxiter,
                 gtol=gtol,
@@ -93,7 +95,11 @@ def _batched_refit(raws, data, kernel, nugget_type):
     """Fit-time artifacts for every output's best raw vector in one
     vmapped program (replaces a per-emulator ``em.fit`` dispatch loop --
     one device round-trip for the whole group instead of one per output)."""
-    return jax.vmap(lambda r, d: gp_fit(r, d, kernel, nugget_type))(raws, data)
+    # progressive_ok=False: a while-loop ladder under vmap runs every
+    # lane to the batch-max rung count (see ops/cholesky.py)
+    return jax.vmap(
+        lambda r, d: gp_fit(r, d, kernel, nugget_type, progressive_ok=False)
+    )(raws, data)
 
 
 def _gather_starts(gp, n_tries, theta0):

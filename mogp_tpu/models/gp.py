@@ -154,10 +154,11 @@ def _prior_logp(data: GPData, raw, n_corr, nugget_type):
 
 @partial(
     jax.jit,
-    static_argnames=("kernel", "nugget_type", "reuse_factor", "sparse_ladder"),
+    static_argnames=("kernel", "nugget_type", "reuse_factor", "sparse_ladder",
+                     "progressive_ok"),
 )
 def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
-           sparse_ladder=False):
+           sparse_ladder=False, progressive_ok=True):
     """Compute all fit-time artifacts for raw hyperparameters ``raw``.
 
     Implements ``GaussianProcess.fit`` (``GaussianProcess.py:629-685``):
@@ -180,6 +181,7 @@ def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
     Kinv, nugget = cholesky_factor(
         K, nugget, nugget_type,
         reuse_factor=reuse_factor, sparse_ladder=sparse_ladder,
+        progressive_ok=progressive_ok,
     )
 
     from ..ops.linalg import dot_hp, marginal_core, marginal_nlp
@@ -216,7 +218,7 @@ def gp_fit(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
 
 
 def gp_nlp(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
-           sparse_ladder=False):
+           sparse_ladder=False, progressive_ok=True):
     """Negative log posterior (the MAP objective).  ``jax.grad`` of this
     replaces ``logpost_deriv`` (``GaussianProcess.py:711-782``).
 
@@ -243,6 +245,7 @@ def gp_nlp(raw, data: GPData, kernel, nugget_type, reuse_factor=True,
     Kinv, nugget = cholesky_factor(
         K, nugget, nugget_type,
         reuse_factor=reuse_factor, sparse_ladder=sparse_ladder,
+        progressive_ok=progressive_ok,
     )
 
     from ..ops.linalg import marginal_core, marginal_nlp

@@ -290,22 +290,22 @@ def _run_tag(q0, n_warmup, n_samples, max_depth, target_accept,
     itself (every ``GPData`` leaf plus the kernel/nugget config): a
     resumed run whose training data changed but whose q0 happens to be
     identical (explicit theta0 + same seed) must NOT silently resume
-    stale chain state against a different posterior."""
-    import hashlib
+    stale chain state against a different posterior.  Uses the shared
+    hashing convention of ``utils.checkpoint.config_tag``."""
+    from ..utils.checkpoint import config_tag
 
-    h = hashlib.sha1(np.ascontiguousarray(np.asarray(q0, np.float64)))
-    h.update(
-        repr((int(n_warmup), int(n_samples), int(max_depth),
-              float(target_accept))).encode()
+    return config_tag(
+        settings=(int(n_warmup), int(n_samples), int(max_depth),
+                  float(target_accept)),
+        arrays=(q0,),
+        pytrees=() if data is None else (data,),
+        strings=[
+            s for s in (
+                None if kernel is None else type(kernel).__name__,
+                nugget_type,
+            ) if s is not None
+        ],
     )
-    if data is not None:
-        for leaf in jax.tree_util.tree_leaves(data):
-            h.update(np.ascontiguousarray(np.asarray(leaf, np.float64)))
-    if kernel is not None:
-        h.update(repr(type(kernel).__name__).encode())
-    if nugget_type is not None:
-        h.update(repr(nugget_type).encode())
-    return h.hexdigest()
 
 
 def _run_nuts_chains(data, q0, chain_keys, kernel, nugget_type, n_warmup,

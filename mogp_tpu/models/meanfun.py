@@ -124,7 +124,9 @@ def _eval_factor(factor, x_data):
     try:
         val = eval(factor, namespace)  # noqa: S307 - restricted namespace
     except Exception as exc:
-        if factor.lstrip().startswith("C(") or "C(" in factor:
+        import re
+
+        if isinstance(exc, NameError) and re.search(r"\bC\s*\(", factor):
             raise ValueError(
                 "categorical terms (patsy 'C(...)') are not supported: "
                 "mean formulas cover the numeric surface only (GP "

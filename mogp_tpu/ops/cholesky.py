@@ -236,7 +236,7 @@ def fixed_cholesky(A):
 
 
 def jit_cholesky(A, maxtries=5, reuse_factor=True, sparse_ladder=False,
-                 jitter_mask=None):
+                 jitter_mask=None, progressive_ok=True):
     """Jittered Cholesky decomposition (``cholesky.py:234-281``).
 
     Tries an exact factorization and, on failure, diagonal jitter of
@@ -300,7 +300,8 @@ def jit_cholesky(A, maxtries=5, reuse_factor=True, sparse_ladder=False,
             [jnp.zeros((1,), dtype=A.dtype), mean_diag * 1e-6 * exponents]
         )
     if (
-        sparse_ladder is False
+        progressive_ok
+        and sparse_ladder is False
         and A.ndim == 2
         and n >= _PROGRESSIVE_LADDER_MIN_N
     ):
@@ -464,7 +465,8 @@ def pivoted_cholesky(A):
 
 
 def cholesky_factor(K, nugget, nugget_type, reuse_factor=True,
-                    sparse_ladder=False, jitter_mask=None):
+                    sparse_ladder=False, jitter_mask=None,
+                    progressive_ok=True):
     """Dispatch factorization on nugget handling (``cholesky.py:168-193``).
 
     :param K: covariance matrix (without nugget).
@@ -483,7 +485,7 @@ def cholesky_factor(K, nugget, nugget_type, reuse_factor=True,
     if nugget_type == "adaptive":
         factor, nugget = jit_cholesky(
             K, reuse_factor=reuse_factor, sparse_ladder=sparse_ladder,
-            jitter_mask=jitter_mask,
+            jitter_mask=jitter_mask, progressive_ok=progressive_ok,
         )
     elif nugget_type == "pivot":
         assert jitter_mask is None, (

@@ -284,11 +284,21 @@ def lbfgs_minimize(
         # trial loop runs to the max trial count over all lanes, so a few
         # such lanes made every batched iteration cost ~max_linesearch
         # objective evaluations.
+        # In BOTH branches the warm start is capped by 2*t_prev: with the
+        # low trial cap, a capped-out search relies on t_prev carrying
+        # the shrunken step into the next iteration -- including before
+        # any curvature pair is stored (n_hist == 0), where recomputing
+        # t0 from 1/||d|| alone would retry the identical short ladder
+        # every iteration and falsely stall lanes whose acceptable step
+        # is far below the unit-length start.
         d_norm = jnp.linalg.norm(d)
-        t0 = jnp.where(
-            state.n_hist == 0,
-            jnp.minimum(1.0, 1.0 / jnp.maximum(d_norm, 1e-30)),
-            jnp.minimum(2.0 * state.t_prev, 1.0),
+        t0 = jnp.minimum(
+            2.0 * state.t_prev,
+            jnp.where(
+                state.n_hist == 0,
+                jnp.minimum(1.0, 1.0 / jnp.maximum(d_norm, 1e-30)),
+                jnp.ones((), dtype=dtype),
+            ),
         ).astype(dtype)
 
         accepted, x_new, f_new, g_new, t_acc, t_next = linesearch(

@@ -83,7 +83,7 @@ def masked_gp_nlp(raw, data, mask, kernel, nugget_type, weak_mean=True,
     Kt = (mask[:, None] * mask[None, :]) * K + jnp.diag(1.0 - mask)
     Kinv, nugget = cholesky_factor(
         Kt, nugget, nugget_type, sparse_ladder=sparse_ladder,
-        jitter_mask=mask,
+        jitter_mask=mask, progressive_ok=False,
     )
 
     m = jnp.dot(data.dm, data.mean_mean)
@@ -485,11 +485,20 @@ class DeviceMICEDesign(MICEDesign):
         assert self._last_mu is not None, "no acquisition step has run"
         # the cached mean is only valid for the point the last
         # acquisition step selected; estimating any other point needs a
-        # fresh prediction this class does not cache
-        assert np.allclose(
+        # fresh prediction this class does not cache.  A ValueError (not
+        # an assert) so the guard survives ``python -O`` -- this is a
+        # documented narrowing of the base-class contract, which
+        # predicts at any supplied point.
+        if not np.allclose(
             next_point, self.candidates[self._last_index],
             rtol=1e-6, atol=1e-8,
-        ), "next_point is not the candidate selected by get_next_point"
+        ):
+            raise ValueError(
+                "DeviceMICEDesign._estimate_next_target only supports "
+                "the candidate selected by the last get_next_point "
+                "(the cached predictive mean belongs to that point); "
+                "use MICEDesign for arbitrary-point estimates"
+            )
         return np.atleast_1d(
             self._last_mu[self._last_index] * self._t_std + self._t_mean
         )

@@ -126,33 +126,49 @@ def save_mcmc(result, filename):
     )
 
 
+def config_tag(settings=(), arrays=(), pytrees=(), strings=()):
+    """Shared checkpoint-identity hash used by both the NUTS run tag
+    (``models/inference.py``) and the SMC tag below: sampler/run
+    settings (repr'd tuple), raw arrays, pytree leaves (float64-cast,
+    leaf order), and identity strings.  Keeping ONE hashing convention
+    means a change to it cannot silently weaken stale-checkpoint
+    detection in just one consumer."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha1()
+    h.update(repr(tuple(settings)).encode())
+    for arr in arrays:
+        h.update(np.ascontiguousarray(np.asarray(arr, np.float64)))
+    for tree in pytrees:
+        for leaf in jax.tree_util.tree_leaves(tree):
+            h.update(np.ascontiguousarray(np.asarray(leaf, np.float64)))
+    for s in strings:
+        h.update(str(s).encode())
+    return h.hexdigest()
+
+
 def _smc_tag(gp, obs_mean, obs_var, bounds, threshold, n_particles,
              n_stages, n_mcmc, discrepancy, include_nugget, quantile,
              rank, seed):
     """Checkpoint identity for an SMC anneal: settings + observation +
     every emulator data leaf, so a changed posterior or configuration
     starts fresh instead of silently resuming a stale population."""
-    import hashlib
-
-    import jax
-
-    h = hashlib.sha1()
-    h.update(
-        repr((
+    ems = getattr(gp, "emulators", [gp])
+    return config_tag(
+        settings=(
             float(threshold), int(n_particles), int(n_stages), int(n_mcmc),
             float(discrepancy), bool(include_nugget), float(quantile),
             int(rank), int(seed),
-        )).encode()
+        ),
+        arrays=(obs_mean, obs_var, bounds),
+        pytrees=[em._data for em in ems],
+        strings=[
+            "{}:{}".format(type(em.kernel).__name__, em.nugget_type)
+            for em in ems
+        ],
     )
-    for arr in (obs_mean, obs_var, bounds):
-        h.update(np.ascontiguousarray(np.asarray(arr, np.float64)))
-    ems = getattr(gp, "emulators", [gp])
-    for em in ems:
-        for leaf in jax.tree_util.tree_leaves(em._data):
-            h.update(np.ascontiguousarray(np.asarray(leaf, np.float64)))
-        h.update(type(em.kernel).__name__.encode())
-        h.update(str(em.nugget_type).encode())
-    return h.hexdigest()
 
 
 def save_smc(filename, state, tag=""):
