@@ -188,7 +188,7 @@ def lbfgs_minimize(
 
         On a rejected trial the next step length comes from the minimizer
         of the quadratic through ``(f, gd, f_new)`` -- clamped to
-        ``[0.1 t, 0.5 t]`` -- instead of plain halving.  Under vmap the
+        ``[0.02 t, 0.5 t]`` -- instead of plain halving.  Under vmap the
         trial loop costs every lane the MAX trial count over the batch
         (one full batched objective per trial), so shaving the trial
         ladder of the worst lane is a direct multiplier on batched fit
