@@ -141,3 +141,49 @@ def test_empty_factor():
     f = ChoFactor(jnp.zeros((0, 0)))
     assert np.asarray(f.solve(jnp.zeros((0,)))).shape == (0,)
     assert float(f.logdet()) == 0.0
+
+
+def test_progressive_ladder_matches_batched():
+    """The large-n progressive (stop-at-first-success) ladder must EQUAL
+    the batched all-candidates ladder: same selected jitter, same
+    factor, same NaN semantics on hopeless inputs, same gradients
+    (custom-VJP factor reuse applies to both paths)."""
+    import jax
+
+    import mogp_tpu.ops.cholesky as C
+
+    rng = np.random.RandomState(0)
+    n = 30
+    X = rng.randn(n, 8)
+    cases = {
+        "pd": X @ X.T + n * np.eye(n),
+        "needs_jitter": X[:, :2] @ X[:, :2].T,  # rank 2
+        "hopeless": -np.eye(n),
+    }
+    saved = C._PROGRESSIVE_LADDER_MIN_N
+    try:
+        for name, A in cases.items():
+            Aj = jnp.asarray(A)
+            C._PROGRESSIVE_LADDER_MIN_N = 1
+            f_prog, j_prog = C.jit_cholesky(Aj)
+            C._PROGRESSIVE_LADDER_MIN_N = 10**9
+            f_bat, j_bat = C.jit_cholesky(Aj)
+            np.testing.assert_allclose(
+                np.asarray(j_prog), np.asarray(j_bat), err_msg=name
+            )
+            np.testing.assert_allclose(
+                np.asarray(f_prog.L), np.asarray(f_bat.L), equal_nan=True,
+                err_msg=name,
+            )
+
+        def loss(Am, minn):
+            C._PROGRESSIVE_LADDER_MIN_N = minn
+            f, _ = C.jit_cholesky(Am)
+            return f.logdet()
+
+        A = jnp.asarray(cases["pd"])
+        g1 = jax.grad(lambda M: loss(M, 1))(A)
+        g2 = jax.grad(lambda M: loss(M, 10**9))(A)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2))
+    finally:
+        C._PROGRESSIVE_LADDER_MIN_N = saved

@@ -212,3 +212,25 @@ def test_ladder_escalation_mogp(monkeypatch):
     mgp = fit_GP_MAP(MultiOutputGP(X, Y2, nugget="adaptive"), n_tries=3,
                      maxiter=30)
     assert mgp.get_indices_not_fit() == []
+
+
+def test_linesearch_carries_shrunken_step_before_history():
+    """A lane whose acceptable step is far below the unit-length start
+    must still make progress under the low trial cap: the capped-out
+    search's shrunken step warm-starts the NEXT iteration even before
+    any curvature pair is stored (n_hist == 0).  Objective: quadratic
+    toward x=1 with a NaN cliff at x > 1e-4, started at 0 -- every
+    per-iteration ladder restarted at t0 = 1/||d|| would never reach
+    the 1e-4-wide finite region with 2 trials/iteration."""
+    import jax.numpy as jnp
+
+    from mogp_tpu.ops.lbfgs import lbfgs_minimize
+
+    def f(x):
+        v = (x[0] - 1.0) ** 2
+        return jnp.where(x[0] <= 1e-4, v, jnp.nan)
+
+    res = lbfgs_minimize(f, jnp.zeros(1), maxiter=30, max_linesearch=2)
+    # progress into the finite sliver (f(0) == 1 exactly at the start)
+    assert float(res.fun) < 1.0 - 1e-5
+    assert 0.0 < float(res.x[0]) <= 1e-4
