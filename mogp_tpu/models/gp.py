@@ -533,7 +533,11 @@ class GaussianProcess(GaussianProcessBase):
             )
 
         self._mean = mean
-        self._dm = design_matrix(mean, self._inputs)
+        # categorical C(...) level bindings, captured here from the
+        # training inputs and reused for every later design matrix
+        # (patsy's design_info role)
+        self._mean_state = {}
+        self._dm = design_matrix(mean, self._inputs, state=self._mean_state)
 
         nugget_value, self._nugget_type = _process_nugget(nugget)
 
@@ -646,7 +650,7 @@ class GaussianProcess(GaussianProcessBase):
         """Design matrix for a set of inputs (``GaussianProcess.py:485-515``)."""
         inputs = self._process_inputs(inputs)
         assert inputs.shape[1] == self.D, "bad shape for inputs"
-        return design_matrix(self._mean, inputs)
+        return design_matrix(self._mean, inputs, state=self._mean_state)
 
     def get_cov_matrix(self, other_inputs):
         """Covariance of training inputs vs ``other_inputs``

@@ -12,22 +12,45 @@ small self-contained formula layer produces the design matrix directly:
 * Formula surface: ``"y ~ a + b"`` (LHS stripped), implicit intercept
   (suppressed by ``+ 0`` or ``- 1``), ``+`` term joins, ``:`` products,
   ``*`` crossing (``a*b == a + b + a:b``), ``I(expr)`` literal arithmetic,
-  and numpy-style expressions on ``x`` (e.g. ``"x[0] + I(x[0]**2)"``).
+  numpy-style expressions on ``x`` (e.g. ``"x[0] + I(x[0]**2)"``), and
+  categorical terms ``C(expr)`` / ``C(expr, levels=[...])`` with patsy's
+  treatment (dummy) coding.
 
-Documented boundary vs patsy: this covers the full NUMERIC surface (all
-the reference's own demos/tests use), but patsy's categorical terms
-(``C(x)`` dummy coding) and arbitrary-environment name lookup are not
-supported -- GP emulator inputs are continuous simulator parameters.
-``C(...)`` raises an explicit error rather than a generic name failure.
+Categorical semantics (patsy ``C()``, ``GaussianProcess.py:505``):
+
+* A ``C(...)`` factor expands to indicator columns over its levels.  The
+  levels are captured from the data the formula is FIRST evaluated on
+  (model construction) and carried in a ``state`` dict so prediction
+  reuses the training levels; a value outside the bound levels raises
+  (patsy behaviour).  Explicit ``levels=[...]`` pins them up front.
+* Coding rule (documented simplification of patsy's per-term algorithm):
+  a LONE categorical main-effect term contributes ``len(levels) - 1``
+  columns (first level dropped, treatment coding) when the model has an
+  intercept, and ``len(levels)`` columns otherwise; categorical factors
+  inside ``:`` interaction terms always use full dummy coding (dropping
+  a level there would silence the interaction at the baseline level).
+  ``:`` products expand column-wise (numeric x each indicator;
+  categorical x categorical gives all pairwise indicator products).
+* ``C(...)`` must be a whole ``:``-factor; embedding it inside
+  arithmetic (``I(C(x[0]) + 1)``) raises an explicit error.
+
+Documented boundary vs patsy: arbitrary-environment name lookup (patsy
+evaluates terms against the caller's frame) is not supported; terms see
+only ``x`` and the numpy namespace below.
 
 The design matrix is a plain array, so everything downstream stays
 jittable; formula parsing happens once on the host at model-construction
 time.
 """
 
+import re
+
 import numpy as np
 
 __all__ = ["design_matrix", "parse_formula", "n_mean_params"]
+
+# a factor that is entirely one C(...) call (categorical)
+_C_FACTOR_RE = re.compile(r"^\s*C\s*\((.*)\)\s*$", re.S)
 
 
 def _split_top_level(s, seps):
@@ -108,7 +131,7 @@ def parse_formula(formula):
 
 
 def _eval_factor(factor, x_data):
-    """Evaluate one factor expression to a column vector."""
+    """Evaluate one numeric factor expression to a column vector."""
     namespace = {
         "x": x_data,
         "I": lambda v: v,
@@ -124,14 +147,11 @@ def _eval_factor(factor, x_data):
     try:
         val = eval(factor, namespace)  # noqa: S307 - restricted namespace
     except Exception as exc:
-        import re
-
         if isinstance(exc, NameError) and re.search(r"\bC\s*\(", factor):
             raise ValueError(
-                "categorical terms (patsy 'C(...)') are not supported: "
-                "mean formulas cover the numeric surface only (GP "
-                "emulator inputs are continuous simulator parameters); "
-                "offending term: '{}'".format(factor)
+                "categorical 'C(...)' must be a whole ':'-factor (e.g. "
+                "'C(x[0])' or 'x[1]:C(x[0])'); it cannot be embedded in "
+                "arithmetic; offending term: '{}'".format(factor)
             )
         raise ValueError(
             "Provided mean function is invalid: could not evaluate "
@@ -140,20 +160,92 @@ def _eval_factor(factor, x_data):
     return np.asarray(val, dtype=np.float64)
 
 
-def _eval_term(term, x_data, n):
-    cols = None
-    for _, factor in _split_top_level(term, ":"):
-        val = _eval_factor(factor, x_data)
-        val = np.broadcast_to(val, (n,)).astype(np.float64)
-        cols = val if cols is None else cols * val
-    return cols
+def _parse_categorical(factor):
+    """``(expr, explicit_levels_or_None)`` for a whole-``C(...)`` factor,
+    else ``None``."""
+    m = _C_FACTOR_RE.match(factor)
+    if m is None:
+        return None
+    parts = _split_top_level(m.group(1), ",")
+    expr = parts[0][1]
+    levels = None
+    for _, extra in parts[1:]:
+        extra = extra.strip()
+        if extra.startswith("levels"):
+            lv = extra.split("=", 1)[1]
+            levels = np.asarray(
+                eval(lv, {"__builtins__": {}, "np": np})  # noqa: S307
+            ).ravel()
+        else:
+            raise ValueError(
+                "unsupported C(...) argument '{}' (only 'levels=[...]' "
+                "is recognised) in factor '{}'".format(extra, factor)
+            )
+    return expr, levels
 
 
-def design_matrix(mean, inputs):
+def _categorical_block(factor, x_data, n, state, reduced):
+    """Indicator columns for a ``C(...)`` factor (treatment coding when
+    ``reduced``)."""
+    expr, explicit = _parse_categorical(factor)
+    col = np.broadcast_to(_eval_factor(expr, x_data), (n,))
+    key = "C({})".format(expr.strip())
+    if state is not None and key in state:
+        levels = np.asarray(state[key])
+    elif explicit is not None:
+        levels = np.asarray(explicit, dtype=np.float64)
+    else:
+        levels = np.unique(col)
+    if state is not None:
+        state.setdefault(key, levels)
+    matches = np.isclose(col[:, None], levels[None, :])
+    unseen = ~matches.any(axis=1)
+    if np.any(unseen):
+        raise ValueError(
+            "categorical factor '{}' saw value(s) {} outside its bound "
+            "levels {} (levels are fixed at model construction, as with "
+            "patsy)".format(
+                factor, np.unique(col[unseen])[:5].tolist(), levels.tolist()
+            )
+        )
+    ind = matches.astype(np.float64)
+    if reduced and ind.shape[1] > 1:
+        ind = ind[:, 1:]  # drop first level: treatment coding
+    return ind
+
+
+def _eval_factor_block(factor, x_data, n, state, reduced):
+    """Evaluate one factor to an ``(n, k)`` column block (k=1 numeric)."""
+    if _C_FACTOR_RE.match(factor):
+        return _categorical_block(factor, x_data, n, state, reduced)
+    val = np.broadcast_to(_eval_factor(factor, x_data), (n,))
+    return val.astype(np.float64)[:, None]
+
+
+def _eval_term(term, x_data, n, state=None, intercept=True):
+    factors = _split_top_level(term, ":")
+    # treatment coding only for a lone categorical main effect under an
+    # intercept; interactions keep full dummies (see module docstring)
+    reduced = intercept and len(factors) == 1
+    block = None
+    for _, factor in factors:
+        b = _eval_factor_block(factor, x_data, n, state, reduced)
+        if block is None:
+            block = b
+        else:  # column-wise product expansion (Khatri-Rao over columns)
+            block = (block[:, :, None] * b[:, None, :]).reshape(n, -1)
+    return block
+
+
+def design_matrix(mean, inputs, state=None):
     """Design matrix for a mean specification (``GaussianProcess.py:485-515``).
 
     :param mean: ``None`` or a formula string.
     :param inputs: ``(n, D)`` input array.
+    :param state: optional mutable dict carrying categorical level
+        bindings across calls (populated on first evaluation -- model
+        construction -- and reused at prediction, patsy's
+        ``design_info`` role).  Only consulted for ``C(...)`` factors.
     :returns: ``(n, M)`` numpy design matrix (M may be zero).
     """
     inputs = np.asarray(inputs)
@@ -176,33 +268,44 @@ def design_matrix(mean, inputs):
 
     intercept, terms = parse_formula(mean)
     x_data = inputs.T  # patsy convention: data={"x": inputs.T}
-    cols = []
+    blocks = []
     if intercept:
-        cols.append(np.ones(n))
+        blocks.append(np.ones((n, 1)))
     for term in terms:
-        cols.append(_eval_term(term, x_data, n))
-    if not cols:
+        blocks.append(_eval_term(term, x_data, n, state, intercept))
+    if not blocks:
         return np.zeros((n, 0))
-    dm = np.stack(cols, axis=1)
+    dm = np.concatenate(blocks, axis=1)
     if dm.shape[0] != n:
         raise ValueError("Provided design matrix is of the wrong shape")
     return dm
 
 
-def n_mean_params(mean, D):
-    """Number of mean parameters for a formula with ``D`` inputs."""
+def n_mean_params(mean, D, state=None):
+    """Number of mean parameters for a formula with ``D`` inputs.
+
+    For formulas with ``C(...)`` factors the count depends on the bound
+    levels -- pass the model's ``state`` dict (or use explicit
+    ``levels=[...]`` in the formula); the 2-point probe otherwise sees
+    exactly two levels per categorical factor.
+    """
     probe = np.zeros((2, D))
     probe[1] = 1.0
-    return design_matrix(mean, probe).shape[1]
+    return design_matrix(mean, probe, state=state).shape[1]
 
 
-def design_matrix_fn(mean):
+def design_matrix_fn(mean, state=None):
     """Return a *jittable* function ``x -> dm`` for a mean specification.
 
     Same semantics as ``design_matrix`` but the returned callable
     evaluates term expressions with jnp on traced arrays, so it can be
     used inside jitted sweeps (SMC, sharded HistoryMatching) where the
-    query points are traced.
+    query points are traced.  ``C(...)`` factors need their levels known
+    at trace time: pass the model's bound ``state`` dict (or use explicit
+    ``levels=[...]``); indicators are built by exact comparison against
+    the level constants, with NO unseen-level check (a traced value
+    cannot be validated) -- an out-of-levels query contributes zero to
+    every indicator column.
     """
     import jax.numpy as jnp
 
@@ -219,6 +322,20 @@ def design_matrix_fn(mean):
 
     intercept, terms = parse_formula(mean)
 
+    def _factor_levels(factor):
+        """Host-side level constants for a categorical factor."""
+        expr, explicit = _parse_categorical(factor)
+        key = "C({})".format(expr.strip())
+        if state is not None and key in state:
+            return expr, np.asarray(state[key])
+        if explicit is not None:
+            return expr, np.asarray(explicit, dtype=np.float64)
+        raise ValueError(
+            "jittable evaluation of categorical factor '{}' needs bound "
+            "levels: pass the model's mean state (gp._mean_state) or "
+            "write explicit C(..., levels=[...])".format(factor)
+        )
+
     def fn(x):
         n = x.shape[0]
         x_data = x.T
@@ -234,19 +351,39 @@ def design_matrix_fn(mean):
             "abs": jnp.abs,
             "__builtins__": {},
         }
-        cols = []
+
+        def factor_block(factor, reduced):
+            if _C_FACTOR_RE.match(factor):
+                expr, levels = _factor_levels(factor)
+                col = jnp.broadcast_to(
+                    jnp.asarray(eval(expr, dict(namespace))), (n,)  # noqa: S307
+                )
+                lv = jnp.asarray(levels, dtype=x.dtype)
+                ind = jnp.isclose(col[:, None], lv[None, :]).astype(x.dtype)
+                if reduced and ind.shape[1] > 1:
+                    ind = ind[:, 1:]
+                return ind
+            val = jnp.broadcast_to(
+                jnp.asarray(eval(factor, dict(namespace))), (n,)  # noqa: S307
+            ).astype(x.dtype)
+            return val[:, None]
+
+        blocks = []
         if intercept:
-            cols.append(jnp.ones(n, dtype=x.dtype))
+            blocks.append(jnp.ones((n, 1), dtype=x.dtype))
         for term in terms:
-            col = None
-            for _, factor in _split_top_level(term, ":"):
-                val = jnp.broadcast_to(
-                    jnp.asarray(eval(factor, dict(namespace))), (n,)
-                ).astype(x.dtype)
-                col = val if col is None else col * val
-            cols.append(col)
-        if not cols:
+            factors = _split_top_level(term, ":")
+            reduced = intercept and len(factors) == 1
+            block = None
+            for _, factor in factors:
+                b = factor_block(factor, reduced)
+                if block is None:
+                    block = b
+                else:
+                    block = (block[:, :, None] * b[:, None, :]).reshape(n, -1)
+            blocks.append(block)
+        if not blocks:
             return jnp.zeros((n, 0), dtype=x.dtype)
-        return jnp.stack(cols, axis=1)
+        return jnp.concatenate(blocks, axis=1)
 
     return fn

@@ -74,7 +74,7 @@ def _make_implausibility_fn(gp, obs_mean, obs_var, discrepancy,
         data = _stack_pytrees([em._data for em in ems])
         kernel = em0.kernel
         nugget_type = em0.nugget_type
-        dm_fn = design_matrix_fn(em0._mean)
+        dm_fn = design_matrix_fn(em0._mean, state=getattr(em0, '_mean_state', None))
         n_obs = obs_mean.shape[0]
         eff_rank = 0 if n_obs == 1 else min(rank, n_obs - 1)
 
@@ -98,7 +98,7 @@ def _make_implausibility_fn(gp, obs_mean, obs_var, discrepancy,
     data = gp._data
     kernel = gp.kernel
     nugget_type = gp.nugget_type
-    dm_fn = design_matrix_fn(gp._mean)
+    dm_fn = design_matrix_fn(gp._mean, state=getattr(gp, '_mean_state', None))
 
     def I_fn(x):
         dmtest = dm_fn(x).astype(x.dtype)

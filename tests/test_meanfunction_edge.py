@@ -187,13 +187,114 @@ def test_power_exponent_derivative():
     assert_allclose(deriv[0], expect, rtol=1e-7)
 
 
-def test_categorical_terms_rejected_explicitly():
-    """Documented boundary vs patsy: C(...) categorical terms raise a
-    clear error naming the limitation (meanfun.py module docstring)."""
+def test_categorical_main_effect_treatment_coding():
+    """C(x[i]) dummy-codes levels, dropping the first under an intercept
+    (patsy treatment coding, GaussianProcess.py:505)."""
+    import numpy as np
+
+    from mogp_tpu.models.meanfun import design_matrix
+
+    x = np.array([[0.1, 0.0], [0.2, 1.0], [0.3, 2.0], [0.4, 1.0]])
+    dm = design_matrix("C(x[1])", x)
+    # intercept + (3 levels - 1) indicators
+    assert dm.shape == (4, 3)
+    assert_allclose(dm[:, 0], 1.0)
+    assert_allclose(dm[:, 1], [0.0, 1.0, 0.0, 1.0])  # level 1
+    assert_allclose(dm[:, 2], [0.0, 0.0, 1.0, 0.0])  # level 2
+    # no intercept -> full dummy coding
+    dm0 = design_matrix("C(x[1]) - 1", x)
+    assert dm0.shape == (4, 3)
+    assert_allclose(dm0.sum(axis=1), 1.0)
+
+
+def test_categorical_levels_bound_at_construction():
+    """Levels captured in the state dict are reused at prediction and a
+    value outside them raises (patsy design_info semantics)."""
     import numpy as np
     import pytest
 
     from mogp_tpu.models.meanfun import design_matrix
 
-    with pytest.raises(ValueError, match="categorical terms"):
-        design_matrix("C(x[0])", np.random.rand(5, 2))
+    x = np.array([[0.1, 0.0], [0.2, 1.0], [0.3, 2.0]])
+    state = {}
+    design_matrix("C(x[1])", x, state=state)
+    assert_allclose(state["C(x[1])"], [0.0, 1.0, 2.0])
+    # subset of levels at predict keeps the full training column count
+    dm = design_matrix("C(x[1])", x[:1], state=state)
+    assert dm.shape == (1, 3)
+    with pytest.raises(ValueError, match="outside its bound levels"):
+        design_matrix("C(x[1])", np.array([[0.0, 7.0]]), state=state)
+    # explicit levels pin the binding without seeing the data
+    dm5 = design_matrix("C(x[1], levels=[0, 1, 2, 3])", x, state={})
+    assert dm5.shape == (3, 4)
+
+
+def test_categorical_interaction_full_coding():
+    """x[j]:C(x[i]) keeps FULL dummies (a dropped level would silence
+    the interaction at the baseline level)."""
+    import numpy as np
+
+    from mogp_tpu.models.meanfun import design_matrix
+
+    x = np.array([[0.5, 0.0], [0.25, 1.0], [0.75, 1.0]])
+    dm = design_matrix("x[0]:C(x[1])", x)
+    assert dm.shape == (3, 3)  # intercept + 2 full-dummy interactions
+    assert_allclose(dm[:, 1], [0.5, 0.0, 0.0])   # x0 * 1[level 0]
+    assert_allclose(dm[:, 2], [0.0, 0.25, 0.75])  # x0 * 1[level 1]
+
+
+def test_categorical_gp_end_to_end():
+    """A GP with a categorical mean recovers level offsets and carries
+    the level binding through predict."""
+    import numpy as np
+
+    from mogp_tpu import GaussianProcess, fit_GP_MAP
+
+    rng = np.random.RandomState(0)
+    n = 50
+    xc = rng.choice([0.0, 1.0, 2.0], size=n)
+    x0 = rng.uniform(size=n)
+    Xtr = np.stack([x0, xc], axis=1)
+    off = np.array([0.0, 2.0, -1.5])
+    y = np.sin(3 * x0) + off[xc.astype(int)] + 0.01 * rng.randn(n)
+    np.random.seed(42)  # restart draws come from the global stream
+    gp = fit_GP_MAP(
+        GaussianProcess(Xtr, y, mean="x[0] + C(x[1])", nugget="adaptive"),
+        n_tries=3, maxiter=50,
+    )
+    assert gp.n_mean == 4  # intercept + x0 + 2 level offsets
+    Xt = np.stack(
+        [rng.uniform(size=20), rng.choice([0.0, 1.0, 2.0], size=20)], axis=1
+    )
+    yt = np.sin(3 * Xt[:, 0]) + off[Xt[:, 1].astype(int)]
+    mu, _, _ = gp.predict(Xt)
+    assert np.sqrt(np.mean((mu - yt) ** 2)) < 0.3
+    # level offsets recovered (relative to level-0 baseline)
+    assert_allclose(gp.theta.mean[2], 2.0, atol=0.5)
+    assert_allclose(gp.theta.mean[3], -1.5, atol=0.5)
+
+
+def test_categorical_jittable_design_matrix():
+    """design_matrix_fn matches the host path on bound levels and is
+    jittable (the SMC/history-matching sweep path)."""
+    import jax
+    import numpy as np
+
+    from mogp_tpu.models.meanfun import design_matrix, design_matrix_fn
+
+    x = np.array([[0.1, 0.0], [0.2, 1.0], [0.3, 2.0], [0.4, 1.0]])
+    state = {}
+    dm = design_matrix("x[0] + C(x[1])", x, state=state)
+    fn = design_matrix_fn("x[0] + C(x[1])", state=state)
+    assert_allclose(np.asarray(jax.jit(fn)(x)), dm)
+
+
+def test_categorical_embedded_in_arithmetic_rejected():
+    """C(...) must be a whole ':'-factor; embedding raises clearly."""
+    import numpy as np
+    import pytest
+
+    from mogp_tpu.models.meanfun import design_matrix
+
+    with pytest.raises(ValueError, match="whole ':'-factor"):
+        design_matrix("I(C(x[0]) + 1)", np.random.rand(5, 2))
