@@ -319,10 +319,23 @@ def _run_fit_chunked(ems, starts, kernel, nugget_type, maxiter, gtol, ftol,
 
     fun = np.empty((G, T), dtype=np.float64)
     xs = np.empty((G, T, P), dtype=np.float64)
-    # dispatch every chunk before pulling any result: JAX dispatch is
-    # async, so chunk k+1's host-side staging (pytree stacking, input
-    # upload, dispatch RPC) overlaps chunk k's device execution instead
-    # of leaving the device idle during each pull
+    # dispatch ahead of the pulls: JAX dispatch is async, so chunk k+1's
+    # host-side staging (pytree stacking, input upload, dispatch RPC)
+    # overlaps chunk k's device execution instead of leaving the device
+    # idle during each pull.  The in-flight window is bounded at 2
+    # chunks -- an unbounded queue would pin every chunk's stacked
+    # input copy and result buffers in HBM simultaneously, roughly
+    # doubling peak memory for large-n multi-output fits
+
+    def _drain(item):
+        sel_d, res_d = item
+        fun[sel_d] = np.asarray(res_d.fun, dtype=np.float64)[
+            : sel_d.stop - sel_d.start
+        ]
+        xs[sel_d] = np.asarray(res_d.x, dtype=np.float64)[
+            : sel_d.stop - sel_d.start
+        ]
+
     pending = []
     for c0 in range(0, G, chunk):
         sel = slice(c0, min(c0 + chunk, G))
@@ -353,9 +366,10 @@ def _run_fit_chunked(ems, starts, kernel, nugget_type, maxiter, gtol, ftol,
 
             res = multihost_utils.process_allgather(res, tiled=True)
         pending.append((sel, res))
-    for sel, res in pending:
-        fun[sel] = np.asarray(res.fun, dtype=np.float64)[: sel.stop - sel.start]
-        xs[sel] = np.asarray(res.x, dtype=np.float64)[: sel.stop - sel.start]
+        if len(pending) > 2:
+            _drain(pending.pop(0))
+    for item in pending:
+        _drain(item)
     return fun, xs
 
 

@@ -247,7 +247,7 @@ def _nuts_sample_seg(data, carry, kernel, nugget_type, n_seg, max_depth):
 
 def _ckpt_save(path, tag, phase, idx, carry, samples_acc, infos_acc):
     """Atomically persist a mid-run chain state (``.npz``)."""
-    import os
+    from ..utils.checkpoint import atomic_savez
 
     payload = {
         "tag": np.asarray(tag),
@@ -260,26 +260,14 @@ def _ckpt_save(path, tag, phase, idx, carry, samples_acc, infos_acc):
         payload["samples"] = samples_acc
         for i, leaf in enumerate(jax.tree_util.tree_leaves(infos_acc)):
             payload["info_{}".format(i)] = np.asarray(leaf)
-    tmp = "{}.tmp.npz".format(path)
-    np.savez(tmp, **payload)
-    os.replace(tmp, str(path))
+    atomic_savez(path, **payload)
 
 
 def _ckpt_load(path, tag):
     """Load a chain checkpoint, or None when absent / for a different run."""
-    import os
-    import warnings
+    from ..utils.checkpoint import load_tagged
 
-    if not os.path.exists(str(path)):
-        return None
-    f = np.load(str(path), allow_pickle=False)
-    if str(f["tag"]) != tag:
-        warnings.warn(
-            "NUTS checkpoint at {} belongs to a different run "
-            "(configuration/inputs changed); starting fresh".format(path)
-        )
-        return None
-    return f
+    return load_tagged(path, tag, "NUTS")
 
 
 def _run_tag(q0, n_warmup, n_samples, max_depth, target_accept,

@@ -130,33 +130,43 @@ def parse_formula(formula):
     return intercept, terms
 
 
-def _eval_factor(factor, x_data):
-    """Evaluate one numeric factor expression to a column vector."""
-    namespace = {
+def _term_namespace(x_data, xp):
+    """Restricted eval namespace over array module ``xp`` (np or jnp)."""
+    return {
         "x": x_data,
         "I": lambda v: v,
-        "np": np,
-        "log": np.log,
-        "exp": np.exp,
-        "sqrt": np.sqrt,
-        "sin": np.sin,
-        "cos": np.cos,
-        "abs": np.abs,
+        "np": xp,
+        "log": xp.log,
+        "exp": xp.exp,
+        "sqrt": xp.sqrt,
+        "sin": xp.sin,
+        "cos": xp.cos,
+        "abs": xp.abs,
         "__builtins__": {},
     }
+
+
+def _eval_expr(expr, namespace):
+    """Evaluate a numeric term expression with shared error mapping
+    (used by both the host and the jittable design-matrix paths)."""
     try:
-        val = eval(factor, namespace)  # noqa: S307 - restricted namespace
+        return eval(expr, namespace)  # noqa: S307 - restricted namespace
     except Exception as exc:
-        if isinstance(exc, NameError) and re.search(r"\bC\s*\(", factor):
+        if isinstance(exc, NameError) and re.search(r"\bC\s*\(", expr):
             raise ValueError(
                 "categorical 'C(...)' must be a whole ':'-factor (e.g. "
                 "'C(x[0])' or 'x[1]:C(x[0])'); it cannot be embedded in "
-                "arithmetic; offending term: '{}'".format(factor)
+                "arithmetic; offending term: '{}'".format(expr)
             )
         raise ValueError(
             "Provided mean function is invalid: could not evaluate "
-            "term '{}': {}".format(factor, exc)
+            "term '{}': {}".format(expr, exc)
         )
+
+
+def _eval_factor(factor, x_data):
+    """Evaluate one numeric factor expression to a column vector."""
+    val = _eval_expr(factor, _term_namespace(x_data, np))
     return np.asarray(val, dtype=np.float64)
 
 
@@ -198,7 +208,10 @@ def _categorical_block(factor, x_data, n, state, reduced):
         levels = np.unique(col)
     if state is not None:
         state.setdefault(key, levels)
-    matches = np.isclose(col[:, None], levels[None, :])
+    # EXACT level matching (patsy semantics): levels are the literal
+    # values seen at binding time; tolerance matching would merge
+    # adjacent large-magnitude levels into overlapping indicators
+    matches = col[:, None] == levels[None, :]
     unseen = ~matches.any(axis=1)
     if np.any(unseen):
         raise ValueError(
@@ -284,11 +297,39 @@ def design_matrix(mean, inputs, state=None):
 def n_mean_params(mean, D, state=None):
     """Number of mean parameters for a formula with ``D`` inputs.
 
-    For formulas with ``C(...)`` factors the count depends on the bound
-    levels -- pass the model's ``state`` dict (or use explicit
-    ``levels=[...]`` in the formula); the 2-point probe otherwise sees
-    exactly two levels per categorical factor.
+    For formulas with ``C(...)`` factors the count is computed
+    structurally from the bound levels -- pass the model's ``state``
+    dict (``gp._mean_state``) or write explicit ``levels=[...]``; an
+    unbound categorical factor raises (its column count is
+    data-dependent).
     """
+    if isinstance(mean, str) and re.search(r"\bC\s*\(", mean):
+        intercept, terms = parse_formula(mean)
+        count = 1 if intercept else 0
+        for term in terms:
+            factors = _split_top_level(term, ":")
+            reduced = intercept and len(factors) == 1
+            width = 1
+            for _, factor in factors:
+                parsed = _parse_categorical(factor)
+                if parsed is None:
+                    continue  # numeric factors are single columns
+                expr, explicit = parsed
+                key = "C({})".format(expr.strip())
+                if state is not None and key in state:
+                    k = len(np.asarray(state[key]))
+                elif explicit is not None:
+                    k = len(np.asarray(explicit).ravel())
+                else:
+                    raise ValueError(
+                        "n_mean_params for categorical factor '{}' needs "
+                        "bound levels: pass the model's mean state "
+                        "(gp._mean_state) or explicit C(..., "
+                        "levels=[...])".format(factor)
+                    )
+                width *= k - 1 if (reduced and k > 1) else k
+            count += width
+        return count
     probe = np.zeros((2, D))
     probe[1] = 1.0
     return design_matrix(mean, probe, state=state).shape[1]
@@ -339,32 +380,22 @@ def design_matrix_fn(mean, state=None):
     def fn(x):
         n = x.shape[0]
         x_data = x.T
-        namespace = {
-            "x": x_data,
-            "I": lambda v: v,
-            "np": jnp,
-            "log": jnp.log,
-            "exp": jnp.exp,
-            "sqrt": jnp.sqrt,
-            "sin": jnp.sin,
-            "cos": jnp.cos,
-            "abs": jnp.abs,
-            "__builtins__": {},
-        }
+        namespace = _term_namespace(x_data, jnp)
 
         def factor_block(factor, reduced):
             if _C_FACTOR_RE.match(factor):
                 expr, levels = _factor_levels(factor)
                 col = jnp.broadcast_to(
-                    jnp.asarray(eval(expr, dict(namespace))), (n,)  # noqa: S307
+                    jnp.asarray(_eval_expr(expr, dict(namespace))), (n,)
                 )
                 lv = jnp.asarray(levels, dtype=x.dtype)
-                ind = jnp.isclose(col[:, None], lv[None, :]).astype(x.dtype)
+                # exact matching, as on the host path
+                ind = (col[:, None] == lv[None, :]).astype(x.dtype)
                 if reduced and ind.shape[1] > 1:
                     ind = ind[:, 1:]
                 return ind
             val = jnp.broadcast_to(
-                jnp.asarray(eval(factor, dict(namespace))), (n,)  # noqa: S307
+                jnp.asarray(_eval_expr(factor, dict(namespace))), (n,)
             ).astype(x.dtype)
             return val[:, None]
 

@@ -37,6 +37,38 @@ __all__ = [
 ]
 
 
+def atomic_savez(path, **payload):
+    """Atomic ``.npz`` write: temp file + ``os.replace`` so a preemption
+    mid-write never corrupts an existing checkpoint.  The single I/O
+    primitive behind every checkpoint writer here and the NUTS segment
+    writer (``models/inference.py``)."""
+    tmp = "{}.tmp.npz".format(path)
+    np.savez(tmp, **payload)
+    os.replace(tmp, str(path))
+
+
+def load_tagged(path, tag, what):
+    """Load a tag-guarded ``.npz`` checkpoint.
+
+    Returns the open archive, or ``None`` when the file is absent or its
+    ``tag`` does not match (a warning names the mismatch -- the run's
+    configuration/data changed, so resuming would be silently wrong).
+    ``tag=None`` skips the guard.
+    """
+    import warnings
+
+    if not os.path.exists(str(path)):
+        return None
+    f = np.load(str(path), allow_pickle=False)
+    if tag is not None and str(f["tag"]) != tag:
+        warnings.warn(
+            "{} checkpoint at {} belongs to a different run "
+            "(configuration/data changed); starting fresh".format(what, path)
+        )
+        return None
+    return f
+
+
 def _gp_config(gp):
     return {
         "mean": gp._mean,
@@ -177,9 +209,8 @@ def save_smc(filename, state, tag=""):
     :param state: dict with ``particles``, ``scale``, ``key``, ``stage``,
                   ``taus``, ``accs`` (numpy arrays / ints).
     """
-    tmp = "{}.tmp.npz".format(filename)
-    np.savez(
-        tmp,
+    atomic_savez(
+        filename,
         tag=np.asarray(str(tag)),
         particles=np.asarray(state["particles"]),
         scale=np.asarray(state["scale"]),
@@ -188,22 +219,13 @@ def save_smc(filename, state, tag=""):
         taus=np.asarray(state["taus"], dtype=np.float64),
         accs=np.asarray(state["accs"], dtype=np.float64),
     )
-    os.replace(tmp, str(filename))
 
 
 def load_smc(filename, tag=None):
     """Load an SMC anneal state, or ``None`` when absent / for a
     different run (mismatched ``tag``)."""
-    import warnings
-
-    if not os.path.exists(str(filename)):
-        return None
-    f = np.load(str(filename), allow_pickle=False)
-    if tag is not None and str(f["tag"]) != tag:
-        warnings.warn(
-            "SMC checkpoint at {} belongs to a different run "
-            "(configuration/data changed); starting fresh".format(filename)
-        )
+    f = load_tagged(filename, tag, "SMC")
+    if f is None:
         return None
     return {
         "particles": f["particles"],

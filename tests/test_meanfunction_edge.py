@@ -289,6 +289,43 @@ def test_categorical_jittable_design_matrix():
     assert_allclose(np.asarray(jax.jit(fn)(x)), dm)
 
 
+def test_categorical_levels_match_exactly():
+    """Adjacent large-magnitude levels stay distinct: matching is exact
+    (tolerance matching would merge e.g. ID-like codes 100000/100001
+    into overlapping indicators)."""
+    import numpy as np
+
+    from mogp_tpu.models.meanfun import design_matrix
+
+    x = np.array([[0.1, 100000.0], [0.2, 100001.0], [0.3, 100000.0]])
+    st = {}
+    dm = design_matrix("C(x[1])", x, state=st)
+    assert dm.shape == (3, 2)  # intercept + 1 treatment-coded indicator
+    assert_allclose(dm[:, 1], [0.0, 1.0, 0.0])
+
+
+def test_n_mean_params_with_bound_levels():
+    """n_mean_params computes categorical widths structurally from the
+    bound state (the documented call pattern must not trip the
+    unseen-level guard)."""
+    import numpy as np
+    import pytest
+
+    from mogp_tpu.models.meanfun import n_mean_params
+
+    st = {"C(x[1])": np.array([1.0, 2.0, 3.0])}
+    # intercept + x0 + (3-1) treatment columns
+    assert n_mean_params("x[0] + C(x[1])", 2, state=st) == 4
+    # no intercept -> full dummy
+    assert n_mean_params("C(x[1]) - 1", 2, state=st) == 3
+    # interaction keeps full coding: intercept + 1*3
+    assert n_mean_params("x[0]:C(x[1])", 2, state=st) == 4
+    # explicit levels need no state
+    assert n_mean_params("C(x[1], levels=[0, 1])", 2) == 2
+    with pytest.raises(ValueError, match="needs bound levels"):
+        n_mean_params("C(x[1])", 2)
+
+
 def test_categorical_embedded_in_arithmetic_rejected():
     """C(...) must be a whole ':'-factor; embedding raises clearly."""
     import numpy as np
