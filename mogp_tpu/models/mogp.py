@@ -150,12 +150,27 @@ class MultiOutputGP(MultiOutputGPBase):
 
     # -- grouping for batched execution -------------------------------------
 
+    @staticmethod
+    def _mean_sig(mean):
+        """Hashable identity of a mean specification.  The mean must be
+        part of the batch signature -- grouped prediction evaluates ONE
+        design matrix (``em0.get_design_matrix``) for the whole group,
+        so two emulators with different formulas that happen to share a
+        column count (e.g. ``"x[0]"`` vs ``"x[1]"``) must NOT batch
+        together."""
+        if mean is None or isinstance(mean, str):
+            return ("s", mean)
+        if callable(mean):
+            return ("c", id(mean))
+        return ("a", np.asarray(mean, dtype=np.float64).tobytes())
+
     def _signature(self, em):
         """Emulators with equal signatures can share one compiled batch."""
         return (
             em.kernel,
             em.nugget_type,
             em.n_mean,
+            self._mean_sig(em._mean),
             em._data.prior_codes.shape,
             tuple(np.asarray(em._data.prior_codes).tolist()),
         )

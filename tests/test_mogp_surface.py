@@ -178,3 +178,32 @@ def test_partial_fit_predictions():
 def test_str_contains_counts():
     s = str(MultiOutputGP(X, Y))
     assert "2" in s and "emulator" in s.lower()
+
+
+def test_heterogeneous_means_predict_correctly():
+    """Different mean formulas with the SAME column count must not share
+    a prediction batch: grouped predict evaluates one design matrix per
+    group, so the mean spec is part of the batch signature (regression:
+    mean=["x[0]", "x[1]"] silently predicted output 1 with output 0's
+    design matrix)."""
+    from mogp_tpu.models.fitting import fit_GP_MAP
+
+    rng = np.random.RandomState(0)
+    x = rng.uniform(size=(40, 2))
+    y0 = 5.0 * x[:, 0] + 0.05 * np.sin(8 * x[:, 1])
+    y1 = 5.0 * x[:, 1] + 0.05 * np.sin(8 * x[:, 0])
+    mgp = MultiOutputGP(x, np.stack([y0, y1]), mean=["x[0]", "x[1]"],
+                        nugget="adaptive")
+    # two groups: equal n_mean but different formulas
+    assert len(mgp._groups()) == 2
+    np.random.seed(1)
+    mgp = fit_GP_MAP(mgp, n_tries=2, maxiter=50)
+    xt = rng.uniform(size=(15, 2))
+    mu = np.asarray(mgp.predict(xt).mean)
+    for i in range(2):
+        mu_i, _, _ = mgp.emulators[i].predict(xt)
+        assert np.allclose(mu[i], mu_i, atol=1e-8)
+    # identical formulas still batch into one group
+    mgp_same = MultiOutputGP(x, np.stack([y0, y1]), mean="x[0]",
+                             nugget="adaptive")
+    assert len(mgp_same._groups()) == 1
