@@ -199,3 +199,29 @@ def test_sharded_history_matching_mogp():
         rtol=1e-8,
     )
     assert hm_mesh.get_NROY() == hm_local.get_NROY()
+
+
+def test_sharded_predict_mogp_heterogeneous_means():
+    """Sharded MOGP predict with different mean formulas of equal width:
+    the mean spec is part of the batch signature, so each group gets its
+    own design matrix (regression: em0's design matrix applied to a
+    mixed-mean group)."""
+    from mogp_tpu import MultiOutputGP, fit_GP_MAP
+    from mogp_tpu.parallel import auto_mesh
+    from mogp_tpu.parallel.sharded import sharded_predict_mogp
+
+    rng = np.random.RandomState(5)
+    x = rng.uniform(size=(30, 2))
+    y0 = 4.0 * x[:, 0] + 0.05 * np.sin(6 * x[:, 1])
+    y1 = 4.0 * x[:, 1] + 0.05 * np.sin(6 * x[:, 0])
+    np.random.seed(7)
+    mgp = fit_GP_MAP(
+        MultiOutputGP(x, np.stack([y0, y1]), mean=["x[0]", "x[1]"],
+                      nugget="adaptive"),
+        n_tries=2, maxiter=30,
+    )
+    testing = rng.uniform(size=(23, 2))
+    mu_s, _ = sharded_predict_mogp(mgp, testing, mesh=auto_mesh(8))
+    for i in range(2):
+        mu_i, _, _ = mgp.emulators[i].predict(testing)
+        np.testing.assert_allclose(mu_s[i], mu_i, rtol=1e-8, atol=1e-9)
