@@ -335,3 +335,42 @@ def test_categorical_embedded_in_arithmetic_rejected():
 
     with pytest.raises(ValueError, match="whole ':'-factor"):
         design_matrix("I(C(x[0]) + 1)", np.random.rand(5, 2))
+
+
+def test_categorical_mogp_and_checkpoint_roundtrip():
+    """Categorical means through the MOGP batched path and the
+    checkpoint reinit path (levels rebind identically from the saved
+    training inputs)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from mogp_tpu import MultiOutputGP, fit_GP_MAP
+    from mogp_tpu.utils.checkpoint import load_gp, save_gp
+
+    rng = np.random.RandomState(2)
+    xc = rng.choice([0.0, 1.0], size=40)
+    X2 = np.stack([rng.uniform(size=40), xc], axis=1)
+    Y2 = np.stack([2.0 * xc + np.sin(4 * X2[:, 0]),
+                   -1.0 * xc + np.cos(3 * X2[:, 0])])
+    np.random.seed(9)
+    mgp = fit_GP_MAP(
+        MultiOutputGP(X2, Y2, mean="x[0] + C(x[1])", nugget="adaptive"),
+        n_tries=2, maxiter=50,
+    )
+    assert len(mgp._groups()) == 1  # shared formula batches together
+    xt = np.stack([rng.uniform(size=10), rng.choice([0.0, 1.0], size=10)],
+                  axis=1)
+    mu = np.asarray(mgp.predict(xt).mean)
+    for i in range(2):
+        mu_i, _, _ = mgp.emulators[i].predict(xt)
+        assert_allclose(mu[i], mu_i, rtol=1e-8, atol=1e-9)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "gp.npz")
+        save_gp(mgp.emulators[0], path)
+        gp2 = load_gp(path)
+        assert gp2._mean_state.keys() == mgp.emulators[0]._mean_state.keys()
+        mu2, _, _ = gp2.predict(xt)
+        assert_allclose(mu2, mu[0], rtol=1e-6, atol=1e-7)
