@@ -366,7 +366,10 @@ def _run_fit_chunked(ems, starts, kernel, nugget_type, maxiter, gtol, ftol,
 
             res = multihost_utils.process_allgather(res, tiled=True)
         pending.append((sel, res))
-        if len(pending) > 2:
+        # drain down to one pending result: at any instant at most 2
+        # chunks are in flight (the one completing in _drain + the one
+        # just dispatched)
+        if len(pending) > 1:
             _drain(pending.pop(0))
     for item in pending:
         _drain(item)

@@ -313,6 +313,16 @@ def n_mean_params(mean, D, state=None):
             for _, factor in factors:
                 parsed = _parse_categorical(factor)
                 if parsed is None:
+                    if re.search(r"\bC\s*\(", factor):
+                        # design_matrix would reject this formula; a
+                        # silent width-1 count here would be bogus
+                        raise ValueError(
+                            "categorical 'C(...)' must be a whole "
+                            "':'-factor; it cannot be embedded in "
+                            "arithmetic; offending term: '{}'".format(
+                                factor
+                            )
+                        )
                     continue  # numeric factors are single columns
                 expr, explicit = parsed
                 key = "C({})".format(expr.strip())
@@ -389,8 +399,17 @@ def design_matrix_fn(mean, state=None):
                     jnp.asarray(_eval_expr(expr, dict(namespace))), (n,)
                 )
                 lv = jnp.asarray(levels, dtype=x.dtype)
-                # exact matching, as on the host path
-                ind = (col[:, None] == lv[None, :]).astype(x.dtype)
+                # few-ulp tolerance AT THE TRACE DTYPE: the host binds
+                # levels in f64 while a traced f32 sweep recomputes the
+                # expression in f32 (op-order / rounding can differ by an
+                # ulp, and exact == would silently zero the indicator).
+                # Levels closer than ~8 ulps of the trace dtype are
+                # indistinguishable at that precision either way.
+                eps = jnp.finfo(x.dtype).eps
+                tol = 8.0 * eps * jnp.maximum(jnp.abs(lv), 1.0)
+                ind = (
+                    jnp.abs(col[:, None] - lv[None, :]) <= tol[None, :]
+                ).astype(x.dtype)
                 if reduced and ind.shape[1] > 1:
                     ind = ind[:, 1:]
                 return ind

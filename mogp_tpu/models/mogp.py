@@ -151,18 +151,32 @@ class MultiOutputGP(MultiOutputGPBase):
     # -- grouping for batched execution -------------------------------------
 
     @staticmethod
-    def _mean_sig(mean):
-        """Hashable identity of a mean specification.  The mean must be
-        part of the batch signature -- grouped prediction evaluates ONE
-        design matrix (``em0.get_design_matrix``) for the whole group,
-        so two emulators with different formulas that happen to share a
-        column count (e.g. ``"x[0]"`` vs ``"x[1]"``) must NOT batch
-        together."""
-        if mean is None or isinstance(mean, str):
-            return ("s", mean)
-        if callable(mean):
-            return ("c", id(mean))
-        return ("a", np.asarray(mean, dtype=np.float64).tobytes())
+    def _mean_sig(em):
+        """Hashable identity of an emulator's mean specification.  The
+        mean must be part of the batch signature -- grouped prediction
+        evaluates ONE design matrix (``em0.get_design_matrix``) for the
+        whole group, so two emulators with different formulas that
+        happen to share a column count (e.g. ``"x[0]"`` vs ``"x[1]"``)
+        must NOT batch together.  Memoized on the emulator (``_mean`` is
+        set once at construction): array means would otherwise be
+        re-serialized on every ``_groups`` call."""
+        key = getattr(em, "_mean_sig_cache", None)
+        if key is None:
+            mean = em._mean
+            if mean is None or isinstance(mean, str):
+                key = ("s", mean)
+            elif callable(mean):
+                key = ("c", id(mean))
+            else:
+                import hashlib
+
+                key = ("a", hashlib.sha1(
+                    np.ascontiguousarray(
+                        np.asarray(mean, dtype=np.float64)
+                    ).tobytes()
+                ).hexdigest())
+            em._mean_sig_cache = key
+        return key
 
     def _signature(self, em):
         """Emulators with equal signatures can share one compiled batch."""
@@ -170,7 +184,7 @@ class MultiOutputGP(MultiOutputGPBase):
             em.kernel,
             em.nugget_type,
             em.n_mean,
-            self._mean_sig(em._mean),
+            self._mean_sig(em),
             em._data.prior_codes.shape,
             tuple(np.asarray(em._data.prior_codes).tolist()),
         )

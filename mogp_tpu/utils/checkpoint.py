@@ -41,10 +41,15 @@ def atomic_savez(path, **payload):
     """Atomic ``.npz`` write: temp file + ``os.replace`` so a preemption
     mid-write never corrupts an existing checkpoint.  The single I/O
     primitive behind every checkpoint writer here and the NUTS segment
-    writer (``models/inference.py``)."""
+    writer (``models/inference.py``).  Matches ``np.savez``'s naming
+    convention (a missing ``.npz`` extension is appended) so writers
+    switched onto this helper keep their on-disk paths."""
+    path = str(path)
+    if not path.endswith(".npz"):
+        path += ".npz"
     tmp = "{}.tmp.npz".format(path)
     np.savez(tmp, **payload)
-    os.replace(tmp, str(path))
+    os.replace(tmp, path)
 
 
 def load_tagged(path, tag, what):
@@ -86,7 +91,7 @@ def save_gp(gp, filename):
     data on load); hyperparameters and the fit state are preserved.
     """
     theta = gp.theta.get_data()
-    np.savez(
+    atomic_savez(
         filename,
         inputs=np.asarray(gp.inputs),
         targets=np.asarray(gp.targets),
@@ -120,7 +125,7 @@ def save_mogp(mgp, filename):
         (np.array([]) if em.theta.get_data() is None else np.asarray(em.theta.get_data()))
         for em in mgp.emulators
     ]
-    np.savez(
+    atomic_savez(
         filename,
         inputs=np.asarray(mgp.inputs),
         targets=np.asarray(mgp.targets),
@@ -148,7 +153,7 @@ def load_mogp(filename):
 
 def save_mcmc(result, filename):
     """Checkpoint an ``MCMCResult``."""
-    np.savez(
+    atomic_savez(
         filename,
         samples=result.samples,
         accept_prob=result.accept_prob,

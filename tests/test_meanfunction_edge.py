@@ -374,3 +374,24 @@ def test_categorical_mogp_and_checkpoint_roundtrip():
         assert gp2._mean_state.keys() == mgp.emulators[0]._mean_state.keys()
         mu2, _, _ = gp2.predict(xt)
         assert_allclose(mu2, mu[0], rtol=1e-6, atol=1e-7)
+
+
+def test_categorical_traced_f32_computed_expression():
+    """A computed-expression categorical evaluated in a traced f32 sweep
+    matches the f64 host binding: the traced path matches levels within
+    a few ulps of the TRACE dtype (exact == would zero indicators on
+    1-ulp f32 rounding differences)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mogp_tpu.models.meanfun import design_matrix, design_matrix_fn
+
+    rng = np.random.RandomState(0)
+    raw = rng.choice([2.0, 3.0, 5.0], size=64)
+    x = np.stack([rng.uniform(size=64), raw], axis=1)
+    st = {}
+    dm64 = design_matrix("C(I(np.log(x[1])))", x, state=st)
+    fn = design_matrix_fn("C(I(np.log(x[1])))", state=st)
+    out32 = np.asarray(jax.jit(fn)(jnp.asarray(x, dtype=jnp.float32)))
+    assert_allclose(out32, dm64)
